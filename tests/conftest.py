@@ -1,0 +1,14 @@
+"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
+logic (shard_map / psum accumulation) is exercised without TPU hardware.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
