@@ -1,0 +1,80 @@
+"""Hit-point shading data interpolation (pure JAX).
+
+Parity with Resources::getIntersectionData (kernel.metal:118-188): barycentric
+interpolation of normals/tangents/UVs, geometric normal from the edge cross
+product, shading frame from normal+tangent(+handedness), and the outgoing
+direction in that frame. Geometry is already world-space (instances baked at
+flatten), so no per-instance transforms are needed here. Normal mapping is
+applied by the caller when a normal texture is bound.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from platinum_tpu.ops import frame as frame_ops
+from platinum_tpu.ops.intersect import HitRecord
+from platinum_tpu.render.types import Geometry
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HitData:
+    pos: jnp.ndarray       # (R, 3) world hit position
+    normal: jnp.ndarray    # (R, 3) shading normal (world)
+    gnormal: jnp.ndarray   # (R, 3) geometric normal (world)
+    uv: jnp.ndarray        # (R, 2)
+    wo: jnp.ndarray        # (R, 3) outgoing dir, local frame
+    frame_t: jnp.ndarray   # (R, 3)
+    frame_b: jnp.ndarray   # (R, 3)
+    mat_idx: jnp.ndarray   # (R,) i32
+
+    @property
+    def frame(self):
+        return self.frame_t, self.frame_b, self.normal
+
+
+def _norm(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
+
+
+def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
+                    d: jnp.ndarray) -> HitData:
+    tri = jnp.where(rec.hit, rec.tri, 0)  # safe gather index on misses
+    vi = geometry.indices[tri]
+    u = rec.bary[..., 0:1]
+    v = rec.bary[..., 1:2]
+    w = 1.0 - u - v
+
+    def interp(attr):
+        return attr[vi[..., 0]] * w + attr[vi[..., 1]] * u + attr[vi[..., 2]] * v
+
+    p0 = geometry.positions[vi[..., 0]]
+    p1 = geometry.positions[vi[..., 1]]
+    p2 = geometry.positions[vi[..., 2]]
+
+    normal = _norm(interp(geometry.normals))
+    tangent4 = interp(geometry.tangents)
+    tangent = _norm(tangent4[..., :3])
+    sign = geometry.tangents[vi[..., 0], 3]
+    uv = interp(geometry.uvs)
+    gnormal = _norm(jnp.cross(p1 - p0, p2 - p0))
+
+    t = jnp.where(rec.hit, rec.t, 0.0)
+    pos = o + d * t[..., None]
+    fr = frame_ops.from_nt(normal, tangent, sign)
+    wo = frame_ops.world_to_local(fr, -d)
+
+    return HitData(
+        pos=pos,
+        normal=fr[2],
+        gnormal=gnormal,
+        uv=uv,
+        wo=wo,
+        frame_t=fr[0],
+        frame_b=fr[1],
+        mat_idx=geometry.tri_material[tri],
+    )

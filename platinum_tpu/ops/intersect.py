@@ -1,0 +1,145 @@
+"""Ray-triangle intersection (pure JAX, vectorized Möller-Trumbore).
+
+The reference delegates intersection to Metal's hardware ray tracing
+(kernel.metal:244-251, renderer_pt.cpp:653-749); on TPU we implement it as
+dense vector math. This module provides the *brute-force* tracer (every ray
+against every triangle, chunked to bound memory) — the correctness oracle and
+the small-scene fast path. The BVH tracer in `platinum_tpu.ops.traverse`
+must produce identical hits (tested against this one).
+
+Triangle data is pre-arranged as (v0, e1, e2) chunks at tracer-build time so
+the inner loop is pure FMA + compare — VPU-friendly, no gathers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platinum_tpu.render.types import Geometry
+
+INF = jnp.float32(np.inf)
+DET_EPS = jnp.float32(1e-12)
+
+
+@dataclass(frozen=True)
+class HitRecord:
+    t: jnp.ndarray      # (R,) distance, inf on miss
+    tri: jnp.ndarray    # (R,) i32 triangle index, -1 on miss
+    bary: jnp.ndarray   # (R, 2) barycentric (u, v) for vertices 1, 2
+    hit: jnp.ndarray    # (R,) bool
+
+
+def _moller_trumbore(o, d, v0, e1, e2, tmin, tmax):
+    """o, d: (R, 1, 3); v0/e1/e2: (1, C, 3). Returns t, u, v, valid (R, C)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = (
+        (jnp.abs(det) > DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < tmax)
+    )
+    return t, u, v, valid
+
+
+def _chunk_triangles(geometry: Geometry, chunk: int):
+    """Pre-gather triangle vertices into (nc, C, 3) chunked (v0, e1, e2)."""
+    idx = geometry.indices
+    p = geometry.positions
+    v0 = p[idx[:, 0]]
+    v1 = p[idx[:, 1]]
+    v2 = p[idx[:, 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n_tri = v0.shape[0]
+    n_pad = (-n_tri) % chunk
+    if n_pad:
+        # Degenerate padding triangles never hit (zero-area, det == 0)
+        pad = jnp.zeros((n_pad, 3), v0.dtype)
+        v0 = jnp.concatenate([v0, pad])
+        e1 = jnp.concatenate([e1, pad])
+        e2 = jnp.concatenate([e2, pad])
+    nc = (n_tri + n_pad) // chunk
+    shape = (nc, chunk, 3)
+    return v0.reshape(shape), e1.reshape(shape), e2.reshape(shape), n_tri
+
+
+def make_brute_tracer(geometry: Geometry, chunk: int = 256):
+    """Build (trace_closest, trace_any) closures over chunked triangles.
+
+    trace_closest(o, d, tmin, tmax) → HitRecord
+    trace_any(o, d, tmin, tmax)     → (R,) bool occlusion
+    tmin/tmax may be scalars or per-ray (R,) arrays.
+    """
+    v0c, e1c, e2c, _ = _chunk_triangles(geometry, chunk)
+    nc = v0c.shape[0]
+
+    def trace_closest(o, d, tmin, tmax) -> HitRecord:
+        r = o.shape[0]
+        tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+        tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+        o_b = o[:, None, :]
+        d_b = d[:, None, :]
+
+        def body(carry, xs):
+            best_t, best_tri, best_u, best_v = carry
+            v0, e1, e2, base = xs
+            t, u, v, valid = _moller_trumbore(
+                o_b, d_b, v0[None], e1[None], e2[None],
+                tmin[:, None], jnp.minimum(tmax, best_t)[:, None],
+            )
+            t = jnp.where(valid, t, INF)
+            j = jnp.argmin(t, axis=-1)
+            rows = jnp.arange(r)
+            cand_t = t[rows, j]
+            better = cand_t < best_t
+            best_tri = jnp.where(better, base + j.astype(jnp.int32), best_tri)
+            best_u = jnp.where(better, u[rows, j], best_u)
+            best_v = jnp.where(better, v[rows, j], best_v)
+            best_t = jnp.where(better, cand_t, best_t)
+            return (best_t, best_tri, best_u, best_v), None
+
+        init = (
+            jnp.full((r,), INF),
+            jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,)),
+            jnp.zeros((r,)),
+        )
+        bases = jnp.arange(nc, dtype=jnp.int32) * v0c.shape[1]
+        (t, tri, u, v), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, bases))
+        hit = jnp.isfinite(t)
+        return HitRecord(t=t, tri=tri, bary=jnp.stack([u, v], -1), hit=hit)
+
+    def trace_any(o, d, tmin, tmax) -> jnp.ndarray:
+        r = o.shape[0]
+        tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+        tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+        o_b = o[:, None, :]
+        d_b = d[:, None, :]
+
+        def body(occluded, xs):
+            v0, e1, e2 = xs
+            _, _, _, valid = _moller_trumbore(
+                o_b, d_b, v0[None], e1[None], e2[None],
+                tmin[:, None], tmax[:, None],
+            )
+            return occluded | jnp.any(valid, axis=-1), None
+
+        occluded, _ = jax.lax.scan(
+            body, jnp.zeros((r,), bool), (v0c, e1c, e2c)
+        )
+        return occluded
+
+    return trace_closest, trace_any

@@ -1,0 +1,332 @@
+"""Scene → FlatScene compiler ("the flattener").
+
+TPU-native equivalent of the reference's per-render scene upload:
+rebuildResourceBuffers + rebuildLightData + updateConstants
+(renderer_pt.cpp:448-651, 838-963, 965-1021). Walks the scene graph once,
+bakes instance transforms into a world-space triangle soup, builds the SoA
+material table (colors converted to the working space), scans for emissive
+triangles to build the power-CDF light table, prepares the environment light
+(constant colors become 1×1 textures so one sampling path serves both), packs
+textures into an atlas, and derives camera ray-gen constants.
+
+Everything here is host-side numpy; the result is device_put as one pytree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from platinum_tpu.core import colorspace as cs
+from platinum_tpu.core.material import NUM_TEXTURE_SLOTS, Material, TextureSlot
+from platinum_tpu.core.scene import Scene
+from platinum_tpu.core.texture import Texture
+from platinum_tpu.core.environment import build_alias_table
+from platinum_tpu.render.types import (
+    MAT_ANISOTROPIC,
+    MAT_EMISSIVE,
+    MAT_THIN,
+    MAT_USES_ALPHA,
+    CameraConstants,
+    EnvironmentLight,
+    FlatScene,
+    Geometry,
+    LightTable,
+    MaterialTable,
+    RenderSettings,
+)
+
+F = np.float32
+
+
+def _camera_constants(scene: Scene, camera_node_id: int, settings: RenderSettings):
+    node = scene.node(camera_node_id)
+    camera = node.camera
+    if camera is None:
+        raise ValueError(f"node {camera_node_id} has no camera")
+    m = scene.world_transform(camera_node_id)
+
+    # Drop scale from the camera transform (normalize basis columns)
+    cols = m[:3, :3]
+    norms = np.linalg.norm(cols, axis=0)
+    cols = cols / np.maximum(norms, 1e-12)
+    u, v, w = cols[:, 0], cols[:, 1], cols[:, 2]
+    pos = m[:3, 3]
+
+    aspect = settings.width / settings.height
+    vh = camera.focus_distance * camera.cropped_sensor_height(aspect) / camera.focal_length
+    vw = vh * aspect
+
+    vu = u * vw
+    vv = -v * vh
+    top_left = pos - camera.focus_distance * w - (vu + vv) * 0.5
+
+    return CameraConstants(
+        position=jnp.asarray(pos, jnp.float32),
+        top_left=jnp.asarray(top_left, jnp.float32),
+        pixel_delta_u=jnp.asarray(vu / settings.width, jnp.float32),
+        pixel_delta_v=jnp.asarray(vv / settings.height, jnp.float32),
+        aperture_radius=jnp.float32(camera.aperture_radius_world),
+        aperture_blades=jnp.float32(camera.aperture_blades),
+        roundness=jnp.float32(camera.roundness),
+        bokeh_power=jnp.float32(camera.bokeh_power),
+    )
+
+
+def _pack_atlas(textures: list) -> tuple:
+    """Shelf-pack float RGBA images into one atlas. Returns (atlas, table)
+    where table[k] = (x, y, w, h). Power-of-two atlas sized to fit."""
+    if not textures:
+        return None, None
+    imgs = [t.as_float_rgba() for t in textures]
+    # Sort by height (shelf packing), keep original order mapping
+    order = sorted(range(len(imgs)), key=lambda i: -imgs[i].shape[0])
+    max_w = max(i.shape[1] for i in imgs)
+    atlas_w = 1 << int(np.ceil(np.log2(max(max_w, 1))))
+    atlas_w = max(atlas_w, 128)
+
+    table = [None] * len(imgs)
+    shelves = []  # (y, height, x_cursor)
+    y_cursor = 0
+    for idx in order:
+        h, w = imgs[idx].shape[:2]
+        placed = False
+        for s in shelves:
+            if s[1] >= h and s[2] + w <= atlas_w:
+                table[idx] = (s[2], s[0], w, h)
+                s[2] += w
+                placed = True
+                break
+        if not placed:
+            shelves.append([y_cursor, h, w])
+            table[idx] = (0, y_cursor, w, h)
+            y_cursor += h
+    atlas_h = max(y_cursor, 1)
+    atlas = np.zeros((atlas_h, atlas_w, 4), dtype=F)
+    for idx, (x, y, w, h) in enumerate(table):
+        atlas[y : y + h, x : x + w] = imgs[idx]
+    return atlas, np.asarray(table, dtype=np.int32)
+
+
+def flatten_scene(
+    scene: Scene,
+    camera_node_id: int | None = None,
+    settings: RenderSettings | None = None,
+) -> FlatScene:
+    settings = settings or RenderSettings()
+    working = cs.get_colorspace(settings.working_space)
+    idt = cs.transform(cs.BT709, working)  # material colors are authored in sRGB
+
+    if camera_node_id is None:
+        cams = scene.get_cameras()
+        if not cams:
+            raise ValueError("scene has no camera")
+        camera_node_id = cams[0][0]
+
+    instances = scene.get_instances()
+
+    # ------------------------------------------------------------------
+    # Material table: dedupe (material asset id) + per-texture atlas slots
+    # ------------------------------------------------------------------
+    mat_ids: list = []      # asset id or None (default), in table order
+    mat_index: dict = {}    # asset id/None → table row
+
+    def material_row(mid) -> int:
+        key = mid if mid is not None else None
+        if key not in mat_index:
+            mat_index[key] = len(mat_ids)
+            mat_ids.append(key)
+        return mat_index[key]
+
+    # Texture table: asset id → atlas entry index
+    tex_assets: list = []
+    tex_index: dict = {}
+
+    def texture_entry(tid) -> int:
+        if tid is None or scene.asset(tid) is None:
+            return -1
+        if tid not in tex_index:
+            tex_index[tid] = len(tex_assets)
+            tex_assets.append(scene.asset(tid))
+        return tex_index[tid]
+
+    # ------------------------------------------------------------------
+    # Geometry: bake instances into world space
+    # ------------------------------------------------------------------
+    positions, normals, tangents, uvs, indices, tri_mats = [], [], [], [], [], []
+    v_off = 0
+    for inst in instances:
+        mesh = inst.mesh
+        m, nm = inst.transform, inst.normal_transform
+        wp = mesh.positions @ m[:3, :3].T + m[:3, 3]
+        wn = mesh.normals @ nm.T
+        wn /= np.maximum(np.linalg.norm(wn, axis=-1, keepdims=True), 1e-12)
+        wt3 = mesh.tangents[:, :3] @ m[:3, :3].T
+        wt3 /= np.maximum(np.linalg.norm(wt3, axis=-1, keepdims=True), 1e-12)
+
+        positions.append(wp.astype(F))
+        normals.append(wn.astype(F))
+        tangents.append(np.concatenate([wt3, mesh.tangents[:, 3:4]], -1).astype(F))
+        uvs.append(mesh.uvs.astype(F))
+        indices.append(mesh.indices.astype(np.int64) + v_off)
+
+        # Map per-triangle slots through this instance's material assignment
+        slot_rows = np.array(
+            [
+                material_row(
+                    inst.material_ids[s] if s < len(inst.material_ids) else None
+                )
+                for s in range(mesh.num_material_slots)
+            ],
+            dtype=np.int32,
+        )
+        tri_mats.append(slot_rows[mesh.material_slots])
+        v_off += mesh.num_vertices
+
+    if not positions:
+        raise ValueError("scene has no visible mesh instances")
+
+    positions = np.concatenate(positions)
+    normals = np.concatenate(normals)
+    tangents = np.concatenate(tangents)
+    uvs = np.concatenate(uvs)
+    indices = np.concatenate(indices).astype(np.int32)
+    tri_mats = np.concatenate(tri_mats).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # Material SoA (after geometry walk so every used row is registered)
+    # ------------------------------------------------------------------
+    n_mat = len(mat_ids)
+    base_color = np.zeros((n_mat, 4), F)
+    emission = np.zeros((n_mat, 3), F)
+    rough = np.zeros(n_mat, F)
+    metal = np.zeros(n_mat, F)
+    transm = np.zeros(n_mat, F)
+    ior = np.zeros(n_mat, F)
+    aniso = np.zeros(n_mat, F)
+    aniso_rot = np.zeros(n_mat, F)
+    coat = np.zeros(n_mat, F)
+    coat_rough = np.zeros(n_mat, F)
+    flags = np.zeros(n_mat, np.int32)
+    tex_table = np.full((n_mat, NUM_TEXTURE_SLOTS), -1, np.int32)
+
+    for row, mid in enumerate(mat_ids):
+        mat: Material = scene.resolve_material(mid)
+        bc = np.asarray(mat.base_color, F)
+        base_color[row, :3] = idt @ bc[:3]
+        base_color[row, 3] = bc[3] if len(bc) > 3 else 1.0
+        emission[row] = (idt @ np.asarray(mat.emission, F)) * F(mat.emission_strength)
+        rough[row] = mat.roughness
+        metal[row] = mat.metallic
+        transm[row] = mat.transmission
+        ior[row] = mat.ior
+        aniso[row] = mat.anisotropy
+        aniso_rot[row] = mat.anisotropy_rotation
+        coat[row] = mat.clearcoat
+        coat_rough[row] = mat.clearcoat_roughness
+
+        fl = 0
+        if mat.is_emissive():
+            fl |= MAT_EMISSIVE
+        if mat.anisotropy != 0.0:
+            fl |= MAT_ANISOTROPIC
+        if mat.thin_transmission:
+            fl |= MAT_THIN
+        uses_alpha = base_color[row, 3] < 1.0
+        for slot, tid in mat.textures.items():
+            entry = texture_entry(tid)
+            tex_table[row, int(slot)] = entry
+            if int(slot) == int(TextureSlot.BASE_COLOR) and entry >= 0:
+                tex = scene.asset(tid)
+                uses_alpha = uses_alpha or tex.has_alpha
+        if uses_alpha:
+            fl |= MAT_USES_ALPHA
+        flags[row] = fl
+
+    # ------------------------------------------------------------------
+    # Lights: emissive triangles, power CDF (power = Y·area·π like the
+    # reference's rebuildLightData, renderer_pt.cpp:856-915)
+    # ------------------------------------------------------------------
+    emissive_rows = np.nonzero(flags & MAT_EMISSIVE)[0]
+    light_tris = np.nonzero(np.isin(tri_mats, emissive_rows))[0].astype(np.int32)
+    if len(light_tris):
+        tri = indices[light_tris]
+        v0, v1, v2 = positions[tri[:, 0]], positions[tri[:, 1]], positions[tri[:, 2]]
+        area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+        le = emission[tri_mats[light_tris]]
+        power = le[:, 1] * area * np.pi
+        cum = np.cumsum(power, dtype=np.float64).astype(F)
+        lights = LightTable(
+            tri=jnp.asarray(light_tris),
+            emission=jnp.asarray(le),
+            area=jnp.asarray(area.astype(F)),
+            power=jnp.asarray(power.astype(F)),
+            cum_power=jnp.asarray(cum),
+            total_power=jnp.float32(cum[-1]),
+            count=jnp.int32(len(light_tris)),
+        )
+    else:
+        z = np.zeros(1, F)
+        lights = LightTable(
+            tri=jnp.zeros(1, jnp.int32),
+            emission=jnp.zeros((1, 3), jnp.float32),
+            area=jnp.asarray(z),
+            power=jnp.asarray(z),
+            cum_power=jnp.asarray(z),
+            total_power=jnp.float32(0),
+            count=jnp.int32(0),
+        )
+
+    # ------------------------------------------------------------------
+    # Environment light
+    # ------------------------------------------------------------------
+    env = scene.environment
+    if env.has_texture and scene.asset(env.texture_id) is not None:
+        tex: Texture = scene.asset(env.texture_id)
+        px = tex.as_float_rgba()[..., :3]
+    else:
+        px = np.asarray(env.constant_color, F).reshape(1, 1, 3)
+    px = (px @ idt.T * F(env.strength)).astype(F)
+    has_env = bool(px.max() > 0.0)
+    luma = np.maximum(px @ cs.luminance_weights(cs.BT709), 0.0).reshape(-1)
+    pdf, p, alias = build_alias_table(luma)
+    env_light = EnvironmentLight(
+        pixels=jnp.asarray(px),
+        pdf=jnp.asarray(pdf),
+        p=jnp.asarray(p),
+        alias=jnp.asarray(alias.astype(np.int32)),
+        count=jnp.int32(1 if has_env else 0),
+    )
+
+    atlas, atlas_table = _pack_atlas(tex_assets)
+
+    return FlatScene(
+        geometry=Geometry(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            tangents=jnp.asarray(tangents),
+            uvs=jnp.asarray(uvs),
+            indices=jnp.asarray(indices),
+            tri_material=jnp.asarray(tri_mats),
+        ),
+        materials=MaterialTable(
+            base_color=jnp.asarray(base_color),
+            emission=jnp.asarray(emission),
+            roughness=jnp.asarray(rough),
+            metallic=jnp.asarray(metal),
+            transmission=jnp.asarray(transm),
+            ior=jnp.asarray(ior),
+            anisotropy=jnp.asarray(aniso),
+            anisotropy_rotation=jnp.asarray(aniso_rot),
+            clearcoat=jnp.asarray(coat),
+            clearcoat_roughness=jnp.asarray(coat_rough),
+            flags=jnp.asarray(flags),
+            textures=jnp.asarray(tex_table),
+        ),
+        lights=lights,
+        env=env_light,
+        camera=_camera_constants(scene, camera_node_id, settings),
+        idt=jnp.asarray(idt),
+        atlas=jnp.asarray(atlas) if atlas is not None else None,
+        atlas_table=jnp.asarray(atlas_table) if atlas_table is not None else None,
+    )

@@ -1,0 +1,153 @@
+"""Device-side scene representation: frozen pytrees of SoA arrays.
+
+This is the TPU equivalent of the reference's argument buffer + resource
+tables (renderer_pt.cpp:448-651, 751-792): instead of GPU pointers, a flat
+struct-of-arrays pytree with integer indices. Instances are baked (world-space
+geometry) so traversal is single-level; the scene graph remains the editable
+source of truth and re-flattening is the analogue of the reference's
+per-render rebuild.
+
+All arrays are jnp (device); all *static* quantities (image size, flags,
+sampler kind, bounce count) live in RenderSettings, which is hashable and
+passed as a static argument to jitted render functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# Material flag bits (parity with MaterialGPU flags, pt_shader_defs.hpp:85-90)
+MAT_ANISOTROPIC = 1
+MAT_EMISSIVE = 2
+MAT_THIN = 4
+MAT_USES_ALPHA = 8
+
+# Renderer flag bits (pt_shader_defs.hpp:75-79)
+FLAG_MULTISCATTER_GGX = 1
+FLAG_GMON = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Geometry:
+    """World-space triangle soup (instances baked)."""
+
+    positions: jnp.ndarray   # (V, 3) f32
+    normals: jnp.ndarray     # (V, 3) f32
+    tangents: jnp.ndarray    # (V, 4) f32 (xyz + handedness)
+    uvs: jnp.ndarray         # (V, 2) f32
+    indices: jnp.ndarray     # (T, 3) i32
+    tri_material: jnp.ndarray  # (T,) i32 → index into material table
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MaterialTable:
+    """SoA material table, colors already in the working colorspace."""
+
+    base_color: jnp.ndarray      # (M, 4)
+    emission: jnp.ndarray        # (M, 3)  premultiplied by strength, working space
+    roughness: jnp.ndarray       # (M,)
+    metallic: jnp.ndarray        # (M,)
+    transmission: jnp.ndarray    # (M,)
+    ior: jnp.ndarray             # (M,)
+    anisotropy: jnp.ndarray      # (M,)
+    anisotropy_rotation: jnp.ndarray  # (M,)
+    clearcoat: jnp.ndarray       # (M,)
+    clearcoat_roughness: jnp.ndarray  # (M,)
+    flags: jnp.ndarray           # (M,) i32
+    # texture slot table: (M, 6) i32 atlas-entry index, -1 = none
+    textures: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LightTable:
+    """Emissive-triangle table with power CDF (parity with AreaLight,
+    pt_shader_defs.hpp:63-68; power = luma_y(emission)·area·π)."""
+
+    tri: jnp.ndarray         # (L,) i32 triangle index into Geometry
+    emission: jnp.ndarray    # (L, 3) working space
+    area: jnp.ndarray        # (L,) world-space area
+    power: jnp.ndarray       # (L,)
+    cum_power: jnp.ndarray   # (L,) inclusive prefix sum
+    total_power: jnp.ndarray  # () f32
+    count: jnp.ndarray       # () i32 — number of valid entries (arrays padded)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class EnvironmentLight:
+    """Equirect env map + alias table (parity with EnvironmentLight +
+    Environment alias table, environment.cpp:27-86)."""
+
+    pixels: jnp.ndarray    # (H, W, 3) f32, working space, premultiplied strength
+    pdf: jnp.ndarray       # (H*W,) pdf relative to uniform pixel choice
+    p: jnp.ndarray         # (H*W,) acceptance prob
+    alias: jnp.ndarray     # (H*W,) i32
+    count: jnp.ndarray     # () i32 — 0 or 1 (is there an env light?)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class CameraConstants:
+    """Ray-generation constants (parity with CameraData,
+    pt_shader_defs.hpp:52-61, built like renderer_pt.cpp:965-1021)."""
+
+    position: jnp.ndarray        # (3,)
+    top_left: jnp.ndarray        # (3,)
+    pixel_delta_u: jnp.ndarray   # (3,)
+    pixel_delta_v: jnp.ndarray   # (3,)
+    aperture_radius: jnp.ndarray  # ()
+    aperture_blades: jnp.ndarray  # () f32 (count; float for math)
+    roundness: jnp.ndarray       # ()
+    bokeh_power: jnp.ndarray     # ()
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FlatScene:
+    geometry: Geometry
+    materials: MaterialTable
+    lights: LightTable
+    env: EnvironmentLight
+    camera: CameraConstants
+    idt: jnp.ndarray  # (3, 3) sRGB → working-space matrix
+    # Acceleration structure arrays (None until accel.bvh attaches them)
+    bvh_bounds_lo: jnp.ndarray | None = None  # (N, 3)
+    bvh_bounds_hi: jnp.ndarray | None = None  # (N, 3)
+    bvh_skip: jnp.ndarray | None = None       # (N,) i32 miss/skip link
+    bvh_tri_start: jnp.ndarray | None = None  # (N,) i32 (-1 for inner nodes)
+    bvh_tri_count: jnp.ndarray | None = None  # (N,) i32
+    # Texture atlas (None = no textures in scene)
+    atlas: jnp.ndarray | None = None          # (AH, AW, 4) f32
+    atlas_table: jnp.ndarray | None = None    # (K, 4) i32: x, y, w, h
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Static (compile-time) render configuration — the knobs of the
+    reference's Render Settings window (pt_viewport.hpp:79-101)."""
+
+    width: int = 512
+    height: int = 512
+    spp: int = 128
+    max_bounces: int = 50
+    kernel: str = "mis"            # "simple" | "mis"
+    sampler: str = "halton"        # "halton" | "pcg4d" | "z"
+    flags: int = FLAG_MULTISCATTER_GGX
+    gmon_buckets: int = 1          # 1 = GMoN off
+    gmon_cap: int = 0
+    working_space: str = "BT709"
+    output_space: str = "sRGB"
+    tracer: str = "auto"           # "auto" | "brute" | "bvh"
+    tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height
