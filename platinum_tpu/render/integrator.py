@@ -43,13 +43,17 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
 
 
 def render_sample(flat: FlatScene, settings: RenderSettings,
-                  sample_idx: jnp.ndarray, tracers=None) -> jnp.ndarray:
-    """Trace one sample per pixel; returns (H*W, 3) radiance."""
+                  sample_idx: jnp.ndarray, pixel_ids=None, tracers=None,
+                  return_stats: bool = False):
+    """Trace one sample per pixel; returns (R, 3) radiance (R = len(pixel_ids),
+    default all pixels). With return_stats, also returns the number of rays
+    traced (closest + shadow), for honest Mrays/sec accounting."""
     trace_closest, trace_any = tracers or make_tracers(flat, settings)
     geom, mats, lights, env = flat.geometry, flat.materials, flat.lights, flat.env
 
-    n = settings.num_pixels
-    pix = jnp.arange(n, dtype=jnp.uint32)
+    pix = (jnp.arange(settings.num_pixels, dtype=jnp.uint32)
+           if pixel_ids is None else pixel_ids.astype(jnp.uint32))
+    n = pix.shape[0]
     px = pix % settings.width
     py = pix // settings.width
 
@@ -73,6 +77,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         prev_spec=jnp.ones((n,), bool),  # bounce 0 counts as "specular"
         stream=stream,
         bounce=jnp.int32(0),
+        rays=jnp.float32(0.0),
     )
 
     def cond(s):
@@ -212,9 +217,13 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
             ),
             stream=stream,
             bounce=bounce + 1,
+            rays=s["rays"]
+            + jnp.sum(active.astype(jnp.float32)) * (2.0 if use_mis else 1.0),
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if return_stats:
+        return final["L"], final["rays"]
     return final["L"]
 
 

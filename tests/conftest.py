@@ -1,14 +1,42 @@
-"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
-logic (shard_map / psum accumulation) is exercised without TPU hardware.
+"""Test environment notes.
 
-Must run before jax is imported anywhere.
+On this box the axon sitecustomize pins JAX to the TPU backend at interpreter
+start, so in-process env overrides cannot move tests to CPU — and that's fine:
+unit/integration tests run on the real target chip. Multi-device sharding
+tests (which need an 8-device virtual CPU mesh) run in subprocesses with
+JAX_PLATFORM_NAME=cpu + --xla_force_host_platform_device_count=8; see
+tests/test_multichip.py and the `cpu_mesh_env` fixture here.
 """
 
 import os
+import subprocess
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def cpu_mesh_env():
+    """Environment for subprocesses needing an 8-device virtual CPU mesh."""
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+    return env
+
+
+def run_in_cpu_mesh(code: str, env, timeout=600) -> str:
+    """Run python code in a subprocess on the virtual CPU mesh."""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return proc.stdout

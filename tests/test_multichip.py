@@ -1,0 +1,46 @@
+"""Multi-device sharding tests on an 8-device virtual CPU mesh.
+
+Run in subprocesses because the axon sitecustomize pins this interpreter's
+JAX backend to the TPU at startup (see conftest)."""
+
+import json
+
+from conftest import run_in_cpu_mesh
+
+
+def test_dryrun_multichip(cpu_mesh_env):
+    out = run_in_cpu_mesh(
+        "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)",
+        cpu_mesh_env,
+    )
+    assert "dryrun_multichip OK" in out
+
+
+def test_sharded_matches_single_device(cpu_mesh_env):
+    """Determinism: tile+sample sharded rendering must equal the unsharded
+    sequential accumulation (counter-based samplers make this exact up to
+    fp reassociation in the pmean)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from platinum_tpu.app.scenes import make_cornell_scene
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.render import integrator
+from platinum_tpu.parallel.shard import render_sharded
+
+scene, cam = make_cornell_scene()
+settings = RenderSettings(width=16, height=16, spp=4, max_bounces=3, sampler="pcg4d")
+flat = flatten_scene(scene, cam, settings)
+
+ref = np.asarray(integrator.render(flat, settings))
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("sample", "tile"))
+img = np.asarray(render_sharded(flat, settings, mesh))
+
+err = np.abs(img - ref).max()
+print("MAXERR", err)
+assert err < 1e-5, err
+"""
+    out = run_in_cpu_mesh(code, cpu_mesh_env)
+    assert "MAXERR" in out
