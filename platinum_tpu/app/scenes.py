@@ -50,7 +50,9 @@ def make_cornell_scene(
 
 
 def make_furnace_scene(albedo: float = 1.0, roughness: float = 1.0,
-                       metallic: float = 0.0, env_value: float = 0.5) -> tuple:
+                       metallic: float = 0.0, env_value: float = 0.5,
+                       transmission: float = 0.0, ior: float = 1.5,
+                       clearcoat: float = 0.0, thin: bool = False) -> tuple:
     """White-furnace test scene: a sphere in a constant environment. With
     albedo 1 and energy-preserving BSDFs, every pixel must equal env_value."""
     scene = Scene()
@@ -62,6 +64,10 @@ def make_furnace_scene(albedo: float = 1.0, roughness: float = 1.0,
         base_color=(albedo, albedo, albedo, 1.0),
         roughness=roughness,
         metallic=metallic,
+        transmission=transmission,
+        ior=ior,
+        clearcoat=clearcoat,
+        thin_transmission=thin,
     )
     scene.set_material(node.id, 0, scene.add_asset(mat))
     scene.environment.constant_color = (env_value, env_value, env_value)

@@ -4,17 +4,21 @@ Parity target: /root/reference/src/renderer_pt/shaders/bsdf.metal — a
 principled GGX BSDF (Enterprise-PBR-like) with four lobes blended by material
 parameters:
 
-  metallic conductor  · GGX + Schlick Fresnel
-  transparent dielectric · GGX reflection/refraction, real Fresnel, thin mode
-  opaque dielectric   · GGX + energy-compensated diffuse
-  clearcoat           · GGX at fixed IOR 1.5
+  metallic conductor     GGX + Schlick Fresnel (+ Kulla-Conty multiscatter)
+  transparent dielectric GGX reflect/refract, real Fresnel, thin mode,
+                         Turquin multiscatter via E_trans LUTs
+  opaque dielectric      GGX + energy-compensated diffuse (E/E_ms LUTs)
+  clearcoat              GGX at fixed IOR 1.5
 
-with Kulla-Conty / Turquin multiple-scattering energy compensation via LUTs.
+All directions are in the local shading frame (+Z = shading normal); wo/wi
+conventions match the reference. Every lobe is computed for every lane and
+selected by masks (the wavefront material-sort pass later narrows this).
 
-This module is built incrementally; every lobe keeps the same vectorized
-signature. Current status: diffuse (Lambert) + emission are exact; GGX lobes
-land with the `ggx` module. All directions are in the local shading frame
-(+Z = shading normal); wo/wi conventions match the reference.
+Deviations (documented):
+  * emission is returned deterministically via `emitted_radiance` with the
+    lobe-selection probability folded in (reference emits stochastically
+    from the diffuse sub-lobe, bsdf.metal:675-681 — same expectation);
+  * anisotropy rotation is honored (the reference uploads but ignores it).
 """
 
 from __future__ import annotations
@@ -25,8 +29,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from platinum_tpu.models import fresnel, ggx
+from platinum_tpu.ops import luts as luts_mod
 from platinum_tpu.ops import samplers as smp
-from platinum_tpu.render.types import MAT_EMISSIVE, MaterialTable
+from platinum_tpu.render.types import (
+    MAT_ANISOTROPIC,
+    MAT_EMISSIVE,
+    MAT_THIN,
+    MaterialTable,
+)
 
 # Sample flag bits (parity with bsdf::SampleFlags)
 SAMPLE_REFLECTED = 1
@@ -37,6 +48,7 @@ SAMPLE_SPECULAR = 16
 SAMPLE_EMITTED = 32
 
 MIN_COS = 1.5e-3
+CLEARCOAT_IOR = 1.5
 
 
 @jax.tree_util.register_dataclass
@@ -52,9 +64,23 @@ class ShadingContext:
     transmission: jnp.ndarray
     ior: jnp.ndarray
     anisotropy: jnp.ndarray
+    anisotropy_rotation: jnp.ndarray
     clearcoat: jnp.ndarray
     clearcoat_roughness: jnp.ndarray
     flags: jnp.ndarray         # (R,) i32 material flags
+
+    @property
+    def alpha(self):
+        aniso = jnp.where((self.flags & MAT_ANISOTROPIC) != 0, self.anisotropy, 0.0)
+        return ggx.alpha_from_roughness(self.roughness, aniso)
+
+    @property
+    def coat_alpha(self):
+        return ggx.alpha_from_roughness(self.clearcoat_roughness)
+
+    @property
+    def thin(self):
+        return (self.flags & MAT_THIN) != 0
 
 
 def make_shading_context(
@@ -62,12 +88,13 @@ def make_shading_context(
     atlas=None, atlas_table=None,
 ) -> ShadingContext:
     """Gather material parameters per ray; apply texture lookups when an
-    atlas is present (texture support lands with ops.texturing)."""
+    atlas is present."""
     albedo = materials.base_color[mat_idx, :3]
     emission = materials.emission[mat_idx]
     roughness = materials.roughness[mat_idx]
     metallic = materials.metallic[mat_idx]
     transmission = materials.transmission[mat_idx]
+    clearcoat = materials.clearcoat[mat_idx]
 
     if atlas is not None and atlas_table is not None:
         from platinum_tpu.ops.texturing import sample_material_textures
@@ -82,6 +109,7 @@ def make_shading_context(
         roughness = roughness * jnp.where(tex.has_rm, tex.rough, 1.0)
         metallic = metallic * jnp.where(tex.has_rm, tex.metal, 1.0)
         transmission = jnp.where(tex.has_transmission, tex.transmission, transmission)
+        clearcoat = jnp.where(tex.has_clearcoat, tex.clearcoat, clearcoat)
 
     return ShadingContext(
         albedo=albedo,
@@ -91,26 +119,11 @@ def make_shading_context(
         transmission=transmission,
         ior=materials.ior[mat_idx],
         anisotropy=materials.anisotropy[mat_idx],
-        clearcoat=materials.clearcoat[mat_idx],
+        anisotropy_rotation=materials.anisotropy_rotation[mat_idx],
+        clearcoat=clearcoat,
         clearcoat_roughness=materials.clearcoat_roughness[mat_idx],
         flags=materials.flags[mat_idx],
     )
-
-
-def emitted_radiance(ctx: ShadingContext) -> jnp.ndarray:
-    """Deterministic expected emission on hit. The reference emits Le
-    stochastically from the diffuse sub-lobe with probability-compensation
-    (bsdf.metal:675-681); the expectation is emission scaled by the opaque-
-    dielectric lobe probability (1-m)(1-t) — we add that directly (equal
-    mean, lower variance)."""
-    opaque = (1.0 - ctx.metallic) * (1.0 - (1.0 - ctx.metallic) * ctx.transmission)
-    # Reference lobe probabilities: pOpaque = (1-pClearcoat)(1-pMetal-...)
-    # For emission, clearcoat weighting matches pOpaque w/o coat Fresnel ≈ 1-c·F;
-    # coat Fresnel term is small — parity within variance. TODO: refine w/ GGX coat.
-    m, t = ctx.metallic, ctx.transmission
-    p_opaque = (1.0 - m) * (1.0 - t)
-    is_emissive = (ctx.flags & MAT_EMISSIVE) != 0
-    return jnp.where(is_emissive[:, None], ctx.emission * p_opaque[:, None], 0.0)
 
 
 @dataclass(frozen=True)
@@ -127,31 +140,438 @@ class BSDFEval:
     pdf: jnp.ndarray  # (R,)
 
 
-def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarray,
-           luts=None, multiscatter: bool = True) -> BSDFSample:
-    """Importance-sample the BSDF. r4: (R, 4) lobe-select + direction draws,
-    rc: (R, 2) clearcoat VNDF draw. Currently: Lambert diffuse lobe."""
-    del rc, luts, multiscatter
-    wi = smp.sample_cosine_hemisphere(r4[..., :2])
-    # Sample on the same side as wo (two-sided diffuse, bsdf.metal:668-669)
-    flip = jnp.where(wo[..., 2] < 0.0, -1.0, 1.0)
-    wi = wi * flip[..., None]
-    pdf = jnp.abs(wi[..., 2]) / np.pi
-    f = ctx.albedo / np.pi
-    flags = jnp.full(wo.shape[:-1], SAMPLE_REFLECTED | SAMPLE_DIFFUSE, jnp.int32)
-    return BSDFSample(wi=wi, f=f, pdf=pdf, flags=flags)
+# ---------------------------------------------------------------------------
+# LUT-based energy terms (bsdf.metal:262-326, defs.metal:349-361)
+# ---------------------------------------------------------------------------
 
+def _ior_param(ior):
+    return (ior - 1.0) / jnp.maximum(ior, 1e-6)
+
+
+def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg):
+    """Kulla-Conty multiple-scattering lobe; f_avg may be (R,) or (R,3)."""
+    e_wo = luts_mod.sample2d(luts.E, wo_z, rough)
+    e_wi = luts_mod.sample2d(luts.E, wi_z, rough)
+    e_avg = luts_mod.sample1d(luts.E_avg, rough)
+    brdf_ms = (1.0 - e_wo) * (1.0 - e_wi) / (np.pi * jnp.maximum(1.0 - e_avg, 1e-5))
+    if f_avg.ndim == rough.ndim + 1:
+        e_avg = e_avg[..., None]
+        brdf_ms = brdf_ms[..., None]
+    fresnel_ms = f_avg * f_avg * e_avg / jnp.maximum(1.0 - f_avg * (1.0 - e_avg), 1e-5)
+    return fresnel_ms * brdf_ms
+
+
+def _transparent_multiscatter(luts, rough, wo_z, ior):
+    """Turquin 1/E_wo energy compensation for the transparent lobe."""
+    into = ior >= 1.0
+    param_in = _ior_param(ior)
+    param_out = 1.0 - ior
+    e_in = luts_mod.sample3d(luts.E_trans_in, jnp.abs(wo_z), rough, param_in)
+    e_out = luts_mod.sample3d(luts.E_trans_out, jnp.abs(wo_z), rough, param_out)
+    e_wo = jnp.where(into, e_in, e_out)
+    return 1.0 / jnp.maximum(e_wo, 1e-3)
+
+
+def _diffuse_factor(luts, ctx, wo_z, wi_z):
+    """Energy-conserving diffuse attenuation under a Fresnel-weighted GGX
+    (Enterprise PBR; bsdf.metal:291-305)."""
+    p = _ior_param(ctx.ior)
+    e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
+    e_ms_wi = luts_mod.sample3d(luts.E_ms, wi_z, ctx.roughness, p)
+    e_ms_avg = luts_mod.sample2d(luts.E_ms_avg, p, ctx.roughness)
+    return (1.0 - e_ms_wo) * (1.0 - e_ms_wi) / (
+        np.pi * jnp.maximum(1.0 - e_ms_avg, 1e-5)
+    )
+
+
+def _opaque_dielectric_factor(luts, ctx, wo_z, f_avg):
+    """Blending weight of the dielectric GGX vs the diffuse base
+    (bsdf.metal:311-326)."""
+    p = _ior_param(ctx.ior)
+    e_wo = luts_mod.sample2d(luts.E, wo_z, ctx.roughness)
+    e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
+    fresnel_ms = f_avg * f_avg * e_wo / jnp.maximum(1.0 - f_avg * (1.0 - e_wo), 1e-5)
+    return jnp.clip(f_avg * e_ms_wo + fresnel_ms * (1.0 - e_ms_wo), 0.0, 0.999)
+
+
+# ---------------------------------------------------------------------------
+# Anisotropy rotation helpers
+# ---------------------------------------------------------------------------
+
+def _rotate_xy(v, cos_a, sin_a):
+    x = v[..., 0] * cos_a - v[..., 1] * sin_a
+    y = v[..., 0] * sin_a + v[..., 1] * cos_a
+    return jnp.stack([x, y, v[..., 2]], axis=-1)
+
+
+def _aniso_rotation(ctx):
+    rot = jnp.where(
+        (ctx.flags & MAT_ANISOTROPIC) != 0, ctx.anisotropy_rotation, 0.0
+    ) * (2.0 * np.pi)
+    return jnp.cos(rot), jnp.sin(rot)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (NEE path) — bsdf.metal:199-224 and per-lobe evals
+# ---------------------------------------------------------------------------
 
 def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
              luts=None, multiscatter: bool = True) -> BSDFEval:
-    """Evaluate the BSDF for given directions (used by NEE)."""
-    del luts, multiscatter
-    same_side = (wo[..., 2] * wi[..., 2]) > 0.0
-    cos_ok = (jnp.abs(wo[..., 2]) >= MIN_COS) & (jnp.abs(wi[..., 2]) >= MIN_COS)
-    valid = same_side & cos_ok
-    f = jnp.where(valid[..., None], ctx.albedo / np.pi, 0.0)
-    pdf = jnp.where(valid, jnp.abs(wi[..., 2]) / np.pi, 0.0)
+    luts = luts or luts_mod.get_luts()
+    shape = wo.shape[:-1]
+
+    # Rotate into the anisotropy frame
+    cos_a, sin_a = _aniso_rotation(ctx)
+    wo = _rotate_xy(wo, cos_a, -sin_a)
+    wi = _rotate_xy(wi, cos_a, -sin_a)
+
+    valid = (wo[..., 2] >= MIN_COS) & (wi[..., 2] >= MIN_COS)
+    alpha = ctx.alpha
+    smooth = ggx.is_smooth(alpha)
+
+    m = ctx.metallic
+    transparent = (1.0 - m) * ctx.transmission
+    opaque = (1.0 - m) * (1.0 - transparent)
+
+    wm = wo + wi
+    wm_len = jnp.linalg.norm(wm, axis=-1, keepdims=True)
+    wm = wm / jnp.maximum(wm_len, 1e-20)
+    wm = wm * jnp.where(wm[..., 2:3] < 0, -1.0, 1.0)
+    wm_ok = wm_len[..., 0] > 1e-10
+    dot_wo_wm = jnp.abs(jnp.sum(wo * wm, axis=-1))
+
+    ss = ggx.single_scatter_brdf(alpha, wo, wi, wm)
+    ggx_pdf = ggx.pdf(alpha, wo, wm)
+
+    f = jnp.zeros(shape + (3,))
+    pdf = jnp.zeros(shape)
+
+    # --- metallic lobe ----------------------------------------------------
+    f_metal = fresnel.schlick(ctx.albedo, dot_wo_wm) * ss[..., None]
+    if multiscatter:
+        f_avg_c = fresnel.avg_conductor_fresnel(ctx.albedo)
+        f_metal = f_metal + _conductor_multiscatter(
+            luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg_c
+        )
+    use_metal = (m > 0.0) & ~smooth & wm_ok
+    f = f + jnp.where(use_metal[..., None], f_metal * m[..., None], 0.0)
+    pdf = pdf + jnp.where(use_metal, ggx_pdf * m, 0.0)
+
+    # --- transparent lobe (reflection side only: wi.z > 0 here) ------------
+    f_ss_t = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), ctx.ior)
+    f_trans = jnp.broadcast_to((f_ss_t * ss)[..., None], shape + (3,))
+    if multiscatter:
+        comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2], ctx.ior)
+        f_trans = f_trans * comp[..., None]
+    use_trans = (transparent > 0.0) & ~smooth & wm_ok
+    f = f + jnp.where(use_trans[..., None], f_trans * (f_ss_t * 0 + transparent)[..., None], 0.0)
+    pdf = pdf + jnp.where(use_trans, f_ss_t * ggx_pdf * transparent, 0.0)
+
+    # --- opaque dielectric lobe --------------------------------------------
+    f_avg = fresnel.avg_dielectric_fresnel_fit(ctx.ior)
+    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg)
+    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi[..., 2])
+    diffuse_pdf = jnp.abs(wi[..., 2]) / np.pi
+
+    f_ss_o = fresnel.fresnel_dielectric(dot_wo_wm, ctx.ior)
+    dielectric = f_ss_o * ss
+    if multiscatter:
+        dielectric = dielectric + _conductor_multiscatter(
+            luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg
+        )
+    f_opaque_rough = dielectric[..., None] + ctx.albedo * c_diffuse[..., None]
+    pdf_opaque_rough = ggx_pdf * bf + diffuse_pdf * (1.0 - bf)
+    f_opaque_smooth = ctx.albedo * c_diffuse[..., None]
+    pdf_opaque_smooth = diffuse_pdf * (1.0 - bf)
+
+    f_opaque = jnp.where(smooth[..., None], f_opaque_smooth, f_opaque_rough)
+    pdf_opaque = jnp.where(smooth, pdf_opaque_smooth, pdf_opaque_rough)
+    use_opaque = opaque > 0.0
+    f = f + jnp.where(use_opaque[..., None], f_opaque * opaque[..., None], 0.0)
+    pdf = pdf + jnp.where(use_opaque, pdf_opaque * opaque, 0.0)
+
+    # --- clearcoat ----------------------------------------------------------
+    coat_alpha = ctx.coat_alpha
+    coat_smooth = ggx.is_smooth(coat_alpha)
+    coat_ss = ggx.single_scatter_brdf(coat_alpha, wo, wi, wm)
+    coat_f_ss = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), CLEARCOAT_IOR)
+    coat_pdf = ggx.pdf(coat_alpha, wo, wm)
+    coat = ctx.clearcoat * jnp.where(coat_smooth | ~wm_ok, 0.0, coat_f_ss)
+    f = f * (1.0 - coat[..., None]) + jnp.where(
+        (coat > 0)[..., None], coat_ss[..., None] * coat[..., None], 0.0
+    )
+    pdf = pdf * (1.0 - coat) + jnp.where(coat > 0, coat_pdf * coat, 0.0)
+
+    f = jnp.where(valid[..., None], f, 0.0)
+    pdf = jnp.where(valid, pdf, 0.0)
     return BSDFEval(f=f, pdf=pdf)
+
+
+# ---------------------------------------------------------------------------
+# Sampling — bsdf.metal:228-252 dispatch + per-lobe samplers
+# ---------------------------------------------------------------------------
+
+def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarray,
+           luts=None, multiscatter: bool = True) -> BSDFSample:
+    luts = luts or luts_mod.get_luts()
+    shape = wo.shape[:-1]
+
+    cos_a, sin_a = _aniso_rotation(ctx)
+    wo = _rotate_xy(wo, cos_a, -sin_a)
+
+    alpha = ctx.alpha
+    smooth = ggx.is_smooth(alpha)
+    coat_alpha = ctx.coat_alpha
+    coat_smooth = ggx.is_smooth(coat_alpha)
+    thin = ctx.thin
+
+    m = ctx.metallic
+    t = ctx.transmission
+    c = ctx.clearcoat
+
+    # Lobe-selection probabilities (bsdf.metal:229-252)
+    wm_coat = jnp.where(
+        coat_smooth[..., None],
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
+        ggx.sample_vmdf(coat_alpha, wo, rc),
+    )
+    p_coat = c * fresnel.fresnel_dielectric(
+        jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
+    )
+    p_coat = jnp.where(c > 0.0, p_coat, 0.0)
+    p_metal = p_coat + (1.0 - p_coat) * m
+    p_transparent = p_coat + (1.0 - p_coat) * (m + (1.0 - m) * t)
+
+    rw = r4[..., 3]
+    sel_coat = rw < p_coat
+    sel_metal = ~sel_coat & (rw < p_metal)
+    sel_trans = ~sel_coat & ~sel_metal & (rw < p_transparent)
+    sel_opaque = ~sel_coat & ~sel_metal & ~sel_trans
+
+    u2 = r4[..., :2]
+    rz = r4[..., 2]
+
+    wm = ggx.sample_vmdf(alpha, wo, u2)
+    dot_wo_wm = jnp.sum(wo * wm, axis=-1)
+    wi_spec_mirror = jnp.stack(
+        [-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1
+    )
+
+    # --- metallic ------------------------------------------------------------
+    wi_metal_r = ggx.reflect(-wo, wm)
+    bad_metal = wo[..., 2] * wi_metal_r[..., 2] < 0.0
+    f_metal_r = fresnel.schlick(ctx.albedo, jnp.abs(dot_wo_wm)) * \
+        ggx.single_scatter_brdf(alpha, wo, wi_metal_r, wm)[..., None]
+    if multiscatter:
+        f_metal_r = f_metal_r + _conductor_multiscatter(
+            luts, ctx.roughness, wo[..., 2], wi_metal_r[..., 2],
+            fresnel.avg_conductor_fresnel(ctx.albedo),
+        )
+    pdf_metal_r = ggx.pdf(alpha, wo, wm)
+    f_metal_s = fresnel.schlick(ctx.albedo, wo[..., 2]) / jnp.maximum(
+        jnp.abs(wo[..., 2]), 1e-20
+    )[..., None]
+
+    wi_metal = jnp.where(smooth[..., None], wi_spec_mirror, wi_metal_r)
+    f_metal = jnp.where(smooth[..., None], f_metal_s,
+                        jnp.where(bad_metal[..., None], 0.0, f_metal_r))
+    pdf_metal = jnp.where(smooth, 1.0, jnp.where(bad_metal, 0.0, pdf_metal_r))
+    flags_metal = jnp.where(
+        smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR, SAMPLE_REFLECTED | SAMPLE_GLOSSY
+    )
+
+    # --- transparent dielectric ----------------------------------------------
+    ior_t = jnp.where((wo[..., 2] < 0.0) & ~thin, 1.0 / ctx.ior, ctx.ior)
+    # rough path
+    f_ss = fresnel.fresnel_dielectric(jnp.abs(dot_wo_wm), ior_t)
+    reflecting = rz < f_ss
+    wi_refl = ggx.reflect(-wo, wm)
+    wi_thin = wi_refl * jnp.array([1.0, 1.0, -1.0])
+    wm_signed = wm * jnp.where(dot_wo_wm[..., None] < 0, -1.0, 1.0)
+    wi_refr = ggx.refract(-wo, wm_signed, 1.0 / ior_t)
+    wi_tr = jnp.where(
+        reflecting[..., None], wi_refl,
+        jnp.where(thin[..., None], wi_thin, wi_refr),
+    )
+    same_side = wo[..., 2] * wi_tr[..., 2] > 0.0
+    bad_tr = jnp.where(
+        reflecting, ~same_side,
+        jnp.where(thin, jnp.zeros_like(same_side), same_side),
+    )
+    # eval (bsdf.metal:376-417): reflection or thin → ss brdf; else btdf
+    ss_tr = ggx.single_scatter_brdf(alpha, wo, wi_tr, wm)
+    pdf_r = ggx.pdf(alpha, wo, wm)
+    dot_i = jnp.sum(wi_tr * wm, axis=-1)
+    denom = (dot_i * ior_t + dot_wo_wm) ** 2
+    dwm_dwi = jnp.abs(dot_i) / jnp.maximum(denom, 1e-20)
+    btdf = ggx.mdf(alpha, wm) * ggx.g(alpha, wo, wi_tr) * jnp.abs(
+        dot_i * dot_wo_wm
+        / (wi_tr[..., 2] * wo[..., 2] * jnp.maximum(denom, 1e-20))
+    )
+    pdf_t = ggx.vmdf(alpha, wo, wm) * dwm_dwi
+    is_refl_like = reflecting | thin
+    k = jnp.where(reflecting, f_ss, 1.0 - f_ss)
+    base = jnp.where(reflecting, ss_tr, jnp.where(thin, ss_tr, btdf))
+    f_tr_rough = k * base
+    f_tr_rough = jnp.where(
+        reflecting, f_tr_rough,
+        f_tr_rough,  # albedo applied below on transmission only
+    )
+    color_tr = jnp.where(reflecting[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
+    if multiscatter:
+        comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2], ior_t)
+        f_tr_rough = f_tr_rough * comp
+    pdf_tr_rough = k * jnp.where(reflecting | thin, pdf_r, pdf_t)
+
+    # smooth path (bsdf.metal:586-617)
+    f_ss_smooth = fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), ior_t)
+    refl_s = rz < f_ss_smooth
+    wi_tr_smooth_t = jnp.where(
+        thin[..., None], -wo,
+        ggx.refract(
+            -wo,
+            jnp.concatenate(
+                [jnp.zeros(shape + (2,)),
+                 jnp.where(wo[..., 2] < 0, -1.0, 1.0)[..., None]], axis=-1
+            ),
+            1.0 / ior_t,
+        ),
+    )
+    wi_tr_smooth = jnp.where(refl_s[..., None], wi_spec_mirror, wi_tr_smooth_t)
+    bad_tr_smooth = ~refl_s & (jnp.abs(wi_tr_smooth[..., 2]) < 1e-9)
+    pdf_tr_smooth = jnp.where(refl_s, f_ss_smooth, 1.0 - f_ss_smooth)
+    color_smooth = jnp.where(refl_s[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
+    f_tr_smooth = (
+        pdf_tr_smooth / jnp.maximum(jnp.abs(wi_tr_smooth[..., 2]), 1e-20)
+    )
+
+    wi_trans = jnp.where(smooth[..., None], wi_tr_smooth, wi_tr)
+    f_trans = jnp.where(
+        smooth[..., None],
+        jnp.where(bad_tr_smooth[..., None], 0.0, f_tr_smooth[..., None] * color_smooth),
+        jnp.where(bad_tr[..., None], 0.0, f_tr_rough[..., None] * color_tr),
+    )
+    pdf_trans = jnp.where(
+        smooth,
+        jnp.where(bad_tr_smooth, 0.0, pdf_tr_smooth),
+        jnp.where(bad_tr, 0.0, pdf_tr_rough),
+    )
+    transmitted = jnp.where(smooth, ~refl_s, ~reflecting)
+    flags_trans = (
+        jnp.where(transmitted, SAMPLE_TRANSMITTED, SAMPLE_REFLECTED)
+        | jnp.where(smooth, SAMPLE_SPECULAR, SAMPLE_GLOSSY)
+    )
+
+    # --- opaque dielectric -----------------------------------------------------
+    f_avg = fresnel.avg_dielectric_fresnel_fit(ctx.ior)
+    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg)
+    pick_dielectric = rz < bf
+
+    # dielectric sub-lobe
+    f_ss_os = fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), ctx.ior)
+    f_op_d_smooth = f_ss_os / jnp.maximum(jnp.abs(wo[..., 2]), 1e-20)
+    pdf_op_d_smooth = bf
+
+    f_ss_or = fresnel.fresnel_dielectric(jnp.abs(dot_wo_wm), ctx.ior)
+    wi_op_r = ggx.reflect(-wo, wm)
+    bad_op = jnp.sum(wm * wm, axis=-1) < 1e-12
+    diel_rough = f_ss_or * ggx.single_scatter_brdf(alpha, wo, wi_op_r, wm)
+    if multiscatter:
+        diel_rough = diel_rough + _conductor_multiscatter(
+            luts, ctx.roughness, wo[..., 2], wi_op_r[..., 2], f_avg
+        )
+    pdf_op_d_rough = ggx.pdf(alpha, wo, wm) * bf
+
+    wi_op_d = jnp.where(smooth[..., None], wi_spec_mirror, wi_op_r)
+    f_op_d = jnp.where(
+        smooth[..., None], f_op_d_smooth[..., None],
+        jnp.where(bad_op[..., None], 0.0, diel_rough[..., None]),
+    ) * jnp.ones_like(ctx.albedo)
+    pdf_op_d = jnp.where(smooth, pdf_op_d_smooth,
+                         jnp.where(bad_op, 0.0, pdf_op_d_rough))
+    flags_op_d = jnp.where(
+        smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR, SAMPLE_REFLECTED | SAMPLE_GLOSSY
+    )
+
+    # diffuse sub-lobe
+    wi_diff = smp.sample_cosine_hemisphere(u2)
+    wi_diff = wi_diff * jnp.where(wo[..., 2:3] < 0.0, -1.0, 1.0)
+    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi_diff[..., 2])
+    f_diff = ctx.albedo * c_diffuse[..., None]
+    pdf_diff = jnp.abs(wi_diff[..., 2]) / np.pi * (1.0 - bf)
+    flags_diff = jnp.full(shape, SAMPLE_REFLECTED | SAMPLE_DIFFUSE, jnp.int32)
+    flags_diff = flags_diff | jnp.where(
+        (ctx.flags & MAT_EMISSIVE) != 0, SAMPLE_EMITTED, 0
+    )
+
+    wi_opaque = jnp.where(pick_dielectric[..., None], wi_op_d, wi_diff)
+    f_opaque = jnp.where(pick_dielectric[..., None], f_op_d, f_diff)
+    pdf_opaque = jnp.where(pick_dielectric, pdf_op_d, pdf_diff)
+    flags_opaque = jnp.where(pick_dielectric, flags_op_d, flags_diff)
+
+    # --- clearcoat ----------------------------------------------------------
+    f_coat_ss = fresnel.fresnel_dielectric(
+        jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
+    )
+    wi_coat_r = ggx.reflect(-wo, wm_coat)
+    bad_coat = wo[..., 2] * wi_coat_r[..., 2] < 0.0
+    f_coat_rough = f_coat_ss * ggx.single_scatter_brdf(coat_alpha, wo, wi_coat_r, wm_coat)
+    pdf_coat_rough = f_coat_ss * ggx.pdf(coat_alpha, wo, wm_coat)
+    f_coat_s = fresnel.fresnel_dielectric(wo[..., 2], CLEARCOAT_IOR)
+
+    wi_coat = jnp.where(coat_smooth[..., None], wi_spec_mirror, wi_coat_r)
+    f_coat = jnp.where(
+        coat_smooth,
+        f_coat_s / jnp.maximum(jnp.abs(wo[..., 2]), 1e-20),
+        jnp.where(bad_coat, 0.0, f_coat_rough),
+    )
+    pdf_coat = jnp.where(coat_smooth, f_coat_s,
+                         jnp.where(bad_coat, 0.0, pdf_coat_rough))
+    flags_coat = jnp.where(
+        coat_smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR,
+        SAMPLE_REFLECTED | SAMPLE_GLOSSY,
+    )
+
+    # --- select lobe ----------------------------------------------------------
+    def pick(vc, vm, vt, vo):
+        return jnp.where(
+            sel_coat, vc, jnp.where(sel_metal, vm, jnp.where(sel_trans, vt, vo))
+        )
+
+    def pick3(vc, vm, vt, vo):
+        sc = sel_coat[..., None]
+        sm = sel_metal[..., None]
+        st = sel_trans[..., None]
+        return jnp.where(sc, vc, jnp.where(sm, vm, jnp.where(st, vt, vo)))
+
+    wi = pick3(wi_coat, wi_metal, wi_trans, wi_opaque)
+    f = pick3(
+        jnp.broadcast_to(f_coat[..., None], shape + (3,)),
+        f_metal, f_trans, f_opaque,
+    )
+    pdf = pick(pdf_coat, pdf_metal, pdf_trans, pdf_opaque)
+    flags = pick(flags_coat, flags_metal, flags_trans, flags_opaque).astype(jnp.int32)
+
+    # zero-pdf lanes are dead samples
+    dead = pdf <= 0.0
+    flags = jnp.where(dead, 0, flags)
+    f = jnp.where(dead[..., None], 0.0, f)
+
+    # Rotate wi back out of the anisotropy frame
+    wi = _rotate_xy(wi, cos_a, sin_a)
+    return BSDFSample(wi=wi, f=f, pdf=pdf, flags=flags)
+
+
+def emitted_radiance(ctx: ShadingContext, wo: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic expected emission on hit: emission scaled by the
+    probability of the opaque-diffuse path (reference emits Le/(1-bf) from
+    the diffuse sub-lobe stochastically; same expectation)."""
+    p_coat = ctx.clearcoat * fresnel.fresnel_dielectric(
+        jnp.abs(wo[..., 2]), CLEARCOAT_IOR
+    )
+    p_opaque = (1.0 - p_coat) * (1.0 - ctx.metallic) * (1.0 - ctx.transmission)
+    is_emissive = (ctx.flags & MAT_EMISSIVE) != 0
+    return jnp.where(is_emissive[..., None], ctx.emission * p_opaque[..., None], 0.0)
 
 
 def wants_nee(ctx: ShadingContext) -> jnp.ndarray:

@@ -112,8 +112,13 @@ def flatten_scene(
     scene: Scene,
     camera_node_id: int | None = None,
     settings: RenderSettings | None = None,
+    build_accel: bool = True,
+    accel_min_tris: int = 32,
+    accel_max_leaf: int | None = None,
 ) -> FlatScene:
     settings = settings or RenderSettings()
+    if accel_max_leaf is None:
+        accel_max_leaf = settings.accel_max_leaf
     working = cs.get_colorspace(settings.working_space)
     idt = cs.transform(cs.BT709, working)  # material colors are authored in sRGB
 
@@ -192,6 +197,30 @@ def flatten_scene(
     uvs = np.concatenate(uvs)
     indices = np.concatenate(indices).astype(np.int32)
     tri_mats = np.concatenate(tri_mats).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # Acceleration structure: build the BVH and reorder triangles into
+    # leaf-contiguous order (the TPU traversal gathers leaf ranges)
+    # ------------------------------------------------------------------
+    bvh_arrays = {}
+    if build_accel and len(indices) >= accel_min_tris:
+        from platinum_tpu.accel import get_builder
+
+        bvh = get_builder()(
+            positions[indices[:, 0]],
+            positions[indices[:, 1]],
+            positions[indices[:, 2]],
+            max_leaf=accel_max_leaf,
+        )
+        indices = indices[bvh.tri_order]
+        tri_mats = tri_mats[bvh.tri_order]
+        bvh_arrays = dict(
+            bvh_bounds_lo=jnp.asarray(bvh.bounds_lo),
+            bvh_bounds_hi=jnp.asarray(bvh.bounds_hi),
+            bvh_skip=jnp.asarray(bvh.skip),
+            bvh_tri_start=jnp.asarray(bvh.tri_start),
+            bvh_tri_count=jnp.asarray(bvh.tri_count),
+        )
 
     # ------------------------------------------------------------------
     # Material SoA (after geometry walk so every used row is registered)
@@ -329,4 +358,12 @@ def flatten_scene(
         idt=jnp.asarray(idt),
         atlas=jnp.asarray(atlas) if atlas is not None else None,
         atlas_table=jnp.asarray(atlas_table) if atlas_table is not None else None,
+        luts=_get_luts(),
+        **bvh_arrays,
     )
+
+
+def _get_luts():
+    from platinum_tpu.ops.luts import get_luts
+
+    return get_luts()

@@ -30,6 +30,9 @@ from platinum_tpu.ops import samplers as smp
 from platinum_tpu.ops.hitdata import interpolate_hit
 from platinum_tpu.ops.intersect import make_brute_tracer
 from platinum_tpu.render.types import FlatScene, RenderSettings
+from platinum_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 RAY_EPS = 1e-3
 
@@ -38,7 +41,7 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     if settings.tracer in ("bvh", "auto") and flat.bvh_skip is not None:
         from platinum_tpu.ops.traverse import make_bvh_tracer
 
-        return make_bvh_tracer(flat)
+        return make_bvh_tracer(flat, max_leaf=settings.accel_max_leaf)
     return make_brute_tracer(flat.geometry)
 
 
@@ -111,7 +114,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         )
 
         # --- Emission on hit (MIS against NEE) ------------------------------
-        le = bsdf_mod.emitted_radiance(ctx)
+        le = bsdf_mod.emitted_radiance(ctx, hd.wo)
         if use_mis:
             cos_hit = jnp.abs(jnp.sum(d * hd.gnormal, axis=-1))
             light_pdf_hit = (
@@ -134,7 +137,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         stream, rc = stream.next_2d()
         r4 = jnp.concatenate([r2, r3[:, None], r4[:, None]], axis=-1)
         samp = bsdf_mod.sample(
-            ctx, hd.wo, r4, rc,
+            ctx, hd.wo, r4, rc, luts=flat.luts,
             multiscatter=bool(settings.flags & 1),
         )
 
@@ -166,7 +169,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
                  jnp.sum(wi_world * hd.frame_b, -1),
                  jnp.sum(wi_world * hd.normal, -1)], axis=-1,
             )
-            ev = bsdf_mod.evaluate(ctx, hd.wo, wi_local,
+            ev = bsdf_mod.evaluate(ctx, hd.wo, wi_local, luts=flat.luts,
                                    multiscatter=bool(settings.flags & 1))
             f_nonzero = jnp.sum(ev.f * ev.f, axis=-1) > 0.0
             do_nee = (

@@ -127,6 +127,8 @@ class FlatScene:
     # Texture atlas (None = no textures in scene)
     atlas: jnp.ndarray | None = None          # (AH, AW, 4) f32
     atlas_table: jnp.ndarray | None = None    # (K, 4) i32: x, y, w, h
+    # GGX energy-compensation LUTs (ops.luts.Luts pytree)
+    luts: object | None = None
 
 
 @dataclass(frozen=True)
@@ -146,6 +148,7 @@ class RenderSettings:
     working_space: str = "BT709"
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh"
+    accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property

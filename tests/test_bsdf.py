@@ -1,0 +1,162 @@
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from platinum_tpu.models import fresnel, ggx
+
+
+def test_fresnel_dielectric_known_values():
+    # Normal incidence, ior 1.5 → ((1.5-1)/(1.5+1))^2 = 0.04
+    f0 = float(fresnel.fresnel_dielectric(jnp.array(1.0), jnp.array(1.5)))
+    assert abs(f0 - 0.04) < 1e-4
+    # Grazing → 1
+    fg = float(fresnel.fresnel_dielectric(jnp.array(0.0), jnp.array(1.5)))
+    assert abs(fg - 1.0) < 1e-4
+    # Total internal reflection: ior < 1, shallow angle
+    ftir = float(fresnel.fresnel_dielectric(jnp.array(0.3), jnp.array(1 / 1.5)))
+    assert ftir == 1.0
+
+
+def test_avg_fresnel_fit_monotonic():
+    iors = jnp.linspace(1.01, 2.0, 16)
+    f = np.asarray(fresnel.avg_dielectric_fresnel_fit(iors))
+    assert (np.diff(f) > 0).all()
+    assert 0.0 < f[0] < f[-1] < 0.3
+
+
+def test_ggx_ndf_normalization():
+    """∫ D(wm) cos(θ) dwm = 1 over the hemisphere."""
+    for rough in (0.3, 0.6, 1.0):
+        alpha = ggx.alpha_from_roughness(jnp.array([rough]))
+        nt, np_ = 512, 256
+        th = (np.arange(nt) + 0.5) / nt * np.pi / 2
+        ph = (np.arange(np_) + 0.5) / np_ * 2 * np.pi
+        TH, PH = np.meshgrid(th, ph, indexing="ij")
+        wm = np.stack(
+            [np.sin(TH) * np.cos(PH), np.sin(TH) * np.sin(PH), np.cos(TH)], -1
+        ).reshape(-1, 3)
+        a = jnp.broadcast_to(alpha, (len(wm), 2))
+        d = np.asarray(ggx.mdf(a, jnp.asarray(wm)))
+        integral = (
+            d * wm[:, 2] * np.sin(TH).reshape(-1)
+        ).sum() * (np.pi / 2 / nt) * (2 * np.pi / np_)
+        assert abs(integral - 1.0) < 2e-2, (rough, integral)
+
+
+def test_vmdf_estimator_matches_numeric_albedo():
+    """MC single-scatter albedo via VNDF sampling == numeric integration."""
+    from platinum_tpu.ops.samplers import PCG4DStream
+
+    n = 1 << 15
+    rough, cos_o = 0.5, 0.4
+    alpha = ggx.alpha_from_roughness(jnp.full((n,), rough))
+    wo = jnp.broadcast_to(
+        jnp.array([np.sqrt(1 - cos_o**2), 0.0, cos_o]), (n, 3)
+    )
+    st = PCG4DStream.create(jnp.arange(n, dtype=jnp.uint32), jnp.zeros(n, jnp.uint32), 0)
+    _, u2 = st.next_2d()
+    wm = ggx.sample_vmdf(alpha, wo, u2)
+    wi = ggx.reflect(-wo, wm)
+    bad = (wm[..., 2] <= 0) | (wo[..., 2] * wi[..., 2] < 0)
+    f = jnp.where(bad, 0.0, ggx.single_scatter_brdf(alpha, wo, wi, wm))
+    pdf = jnp.where(bad, 1.0, ggx.pdf(alpha, wo, wm))
+    e_mc = float(jnp.mean(f * jnp.abs(wi[..., 2]) / pdf))
+
+    # numeric reference
+    nt, np_ = 256, 256
+    th = (np.arange(nt) + 0.5) / nt * np.pi / 2
+    ph = (np.arange(np_) + 0.5) / np_ * 2 * np.pi
+    TH, PH = np.meshgrid(th, ph, indexing="ij")
+    wi_g = np.stack(
+        [np.sin(TH) * np.cos(PH), np.sin(TH) * np.sin(PH), np.cos(TH)], -1
+    ).reshape(-1, 3)
+    wo1 = np.array([np.sqrt(1 - cos_o**2), 0.0, cos_o])
+    wm_g = wi_g + wo1
+    wm_g /= np.linalg.norm(wm_g, axis=-1, keepdims=True)
+    a = jnp.broadcast_to(ggx.alpha_from_roughness(jnp.array(rough)), (len(wi_g), 2))
+    fg = np.asarray(
+        ggx.single_scatter_brdf(
+            a, jnp.asarray(np.tile(wo1, (len(wi_g), 1))),
+            jnp.asarray(wi_g), jnp.asarray(wm_g),
+        )
+    )
+    e_num = (fg * wi_g[:, 2] * np.sin(TH).reshape(-1)).sum() * (
+        np.pi / 2 / nt
+    ) * (2 * np.pi / np_)
+    assert abs(e_mc - e_num) < 0.02, (e_mc, e_num)
+
+
+def test_refract_snell():
+    i = jnp.array([[0.0, 0.0, -1.0]])  # straight down onto +z normal
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    t = np.asarray(ggx.refract(i, n, jnp.array([1 / 1.5])))
+    assert np.allclose(t, [[0, 0, -1]], atol=1e-6)
+    # 45 degrees: sin_t = sin(45)/1.5
+    s = np.sin(np.deg2rad(45))
+    i2 = jnp.array([[s, 0.0, -s]])
+    t2 = np.asarray(ggx.refract(i2, n, jnp.array([1 / 1.5])))
+    assert abs(t2[0, 0] - s / 1.5) < 1e-6
+    # TIR from inside
+    i3 = jnp.array([[0.9, 0.0, -np.sqrt(1 - 0.81)]])
+    t3 = np.asarray(ggx.refract(i3, n, jnp.array([1.5])))
+    assert np.allclose(t3, 0.0)
+
+
+@pytest.fixture(scope="module")
+def luts_available():
+    from platinum_tpu.ops.luts import LUT_BUNDLE
+
+    if not os.path.exists(LUT_BUNDLE):
+        pytest.skip("LUT bundle not baked yet")
+
+
+def _furnace(env=0.5, spp=24, bounces=32, **mat):
+    from platinum_tpu.app.scenes import make_furnace_scene
+    from platinum_tpu.render import integrator
+    from platinum_tpu.render.flatten import flatten_scene
+    from platinum_tpu.render.types import RenderSettings
+
+    scene, cam = make_furnace_scene(env_value=env, **mat)
+    settings = RenderSettings(width=24, height=24, spp=spp, max_bounces=bounces,
+                              sampler="pcg4d")
+    flat = flatten_scene(scene, cam, settings)
+    return np.asarray(integrator.render(flat, settings))
+
+
+def test_furnace_metallic_rough(luts_available):
+    img = _furnace(albedo=1.0, metallic=1.0, roughness=0.5)
+    assert not np.isnan(img).any()
+    assert abs(img.mean() - 0.5) < 0.015, img.mean()
+
+
+def test_furnace_metallic_mirror(luts_available):
+    img = _furnace(albedo=1.0, metallic=1.0, roughness=0.0)
+    # Perfect mirror: exact 0.5 except silhouette rays that exceed
+    # max_bounces (grazing reflections marching along the sphere) — each
+    # truncated path removes 0.5/spp from one pixel.
+    assert abs(img.mean() - 0.5) < 0.005
+    assert np.abs(img - 0.5).max() < 0.5 / 24 + 1e-3
+
+
+def test_furnace_opaque_dielectric(luts_available):
+    img = _furnace(albedo=1.0, metallic=0.0, roughness=0.3)
+    assert abs(img.mean() - 0.5) < 0.02, img.mean()
+
+
+def test_furnace_glass(luts_available):
+    img = _furnace(albedo=1.0, transmission=1.0, roughness=0.2, ior=1.5,
+                   spp=32, bounces=48)
+    assert not np.isnan(img).any()
+    # Turquin compensation is approximate; allow a few percent
+    assert abs(img.mean() - 0.5) < 0.03, img.mean()
+
+
+def test_furnace_clearcoat(luts_available):
+    img = _furnace(albedo=1.0, roughness=0.4, clearcoat=1.0)
+    assert not np.isnan(img).any()
+    # clearcoat is not energy-compensated (single-scatter GGX over base):
+    # mild darkening expected, bounded
+    assert 0.40 < img.mean() < 0.52, img.mean()
