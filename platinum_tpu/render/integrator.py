@@ -232,11 +232,17 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
 
 @partial(jax.jit, static_argnames=("settings",), donate_argnames=("accum",))
 def render_step(flat: FlatScene, settings: RenderSettings, accum: jnp.ndarray,
-                sample_idx: jnp.ndarray) -> jnp.ndarray:
+                accum_count: jnp.ndarray,
+                sample_seed: jnp.ndarray | None = None) -> jnp.ndarray:
     """One progressive spp step: running mean into the (H*W, 3) accumulator
-    (parity with the accumulate tail of the kernels, kernel.metal:675-684)."""
-    radiance = render_sample(flat, settings, sample_idx)
-    k = sample_idx.astype(jnp.float32)
+    (parity with the accumulate tail of the kernels, kernel.metal:675-684).
+    `accum_count` is how many samples the accumulator already holds;
+    `sample_seed` is the global sample index for the RNG (defaults to
+    accum_count; differs under GMoN bucketing)."""
+    if sample_seed is None:
+        sample_seed = accum_count
+    radiance = render_sample(flat, settings, sample_seed)
+    k = accum_count.astype(jnp.float32)
     return (accum * k + radiance) / (k + 1.0)
 
 

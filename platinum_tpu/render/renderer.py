@@ -1,0 +1,163 @@
+"""Progressive renderer API.
+
+The framework's user-facing render controller — capability parity with
+renderer_pt::Renderer (renderer_pt.hpp:14-209): startRender latches camera /
+size / spp / GMoN / colorspace settings, render() advances one progressive
+sample (all GPU work async; the accumulator is donated device state), status
+exposes Ready/Busy/Done, renderProgress/renderTime drive UI, readback pulls
+the image to host, and the post stack + export produce final PNG/EXR output.
+
+Progressive accumulation doubles as checkpointing (SURVEY.md §5): the
+accumulator can be saved/restored as EXR at any point and rendering resumed.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platinum_tpu.core import colorspace as cs
+from platinum_tpu.ops.gmon import gmon_combine
+from platinum_tpu.post.options import PostProcessOptions
+from platinum_tpu.post.pipeline import postprocess_jit
+from platinum_tpu.render import integrator
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.types import FLAG_GMON, FlatScene, RenderSettings
+
+
+class RenderStatus(enum.IntFlag):
+    READY = 1
+    BUSY = 2
+    DONE = 4
+
+
+class Renderer:
+    def __init__(self, scene, post_options: PostProcessOptions | None = None):
+        self.scene = scene
+        self.post_options = post_options or PostProcessOptions()
+        self.settings: RenderSettings | None = None
+        self.flat: FlatScene | None = None
+        self._buckets = None        # (B, H*W, 3) accumulators
+        self._accumulated = 0
+        self._start_time = None
+        self._end_time = None
+
+    # ------------------------------------------------------------------
+    # Control (parity with startRender/render/status, renderer_pt.cpp)
+    # ------------------------------------------------------------------
+
+    def start_render(self, camera_node_id: int | None = None,
+                     settings: RenderSettings | None = None):
+        """Latch settings, flatten the scene and reset accumulation."""
+        self.settings = settings or self.settings or RenderSettings()
+        self.flat = flatten_scene(self.scene, camera_node_id, self.settings)
+        n_buckets = max(1, self.settings.gmon_buckets
+                        if self.settings.flags & FLAG_GMON else 1)
+        self._buckets = jnp.zeros((n_buckets, self.settings.num_pixels, 3))
+        self._accumulated = 0
+        self._start_time = time.perf_counter()
+        self._end_time = None
+
+    def render(self):
+        """One progressive step (one sample per pixel), like the reference's
+        per-frame 1-spp dispatch (renderer_pt.cpp:131-158)."""
+        if self.flat is None or self.status & RenderStatus.DONE:
+            return
+        s = self.settings
+        n_buckets = self._buckets.shape[0]
+        samples_per_bucket = -(-s.spp // n_buckets)
+        bucket = min(self._accumulated // samples_per_bucket, n_buckets - 1)
+        local_idx = self._accumulated % samples_per_bucket
+
+        acc = integrator.render_step(
+            self.flat, s, self._buckets[bucket], jnp.int32(local_idx),
+            sample_seed=jnp.int32(self._accumulated),
+        )
+        self._buckets = self._buckets.at[bucket].set(acc)
+        self._accumulated += 1
+        if self._accumulated >= s.spp:
+            jax.block_until_ready(self._buckets)
+            self._end_time = time.perf_counter()
+
+    def render_all(self):
+        while not (self.status & RenderStatus.DONE):
+            self.render()
+
+    @property
+    def status(self) -> RenderStatus:
+        if self.flat is None:
+            return RenderStatus.READY
+        if self._accumulated < self.settings.spp:
+            return RenderStatus.READY | RenderStatus.BUSY
+        return RenderStatus.READY | RenderStatus.DONE
+
+    @property
+    def render_progress(self) -> float:
+        if self.flat is None or self.settings.spp == 0:
+            return 0.0
+        return self._accumulated / self.settings.spp
+
+    @property
+    def render_time(self) -> float:
+        if self._start_time is None:
+            return 0.0
+        end = self._end_time or time.perf_counter()
+        return end - self._start_time
+
+    # ------------------------------------------------------------------
+    # Output
+    # ------------------------------------------------------------------
+
+    def _combined(self) -> jnp.ndarray:
+        n_buckets = self._buckets.shape[0]
+        if n_buckets == 1:
+            return self._buckets[0]
+        samples_per_bucket = -(-self.settings.spp // n_buckets)
+        full = max(1, min(
+            (self._accumulated + samples_per_bucket - 1) // samples_per_bucket,
+            n_buckets,
+        ))
+        cap = self.settings.gmon_cap or 1.0
+        return gmon_combine(self._buckets, full, cap)
+
+    def readback(self) -> np.ndarray:
+        """(H, W, 3) linear radiance in the working colorspace."""
+        s = self.settings
+        return np.asarray(self._combined()).reshape(s.height, s.width, 3)
+
+    def output_image(self, post_options: PostProcessOptions | None = None) -> np.ndarray:
+        """Display-encoded (H, W, 3) float in the output colorspace."""
+        s = self.settings
+        img = self._combined().reshape(s.height, s.width, 3)
+        out = postprocess_jit(
+            img, post_options or self.post_options,
+            s.working_space, s.output_space,
+        )
+        return np.asarray(out)
+
+    def export_png(self, path: str, post_options=None):
+        from platinum_tpu.io.png import write_png
+
+        write_png(path, self.output_image(post_options),
+                  output_space=self.settings.output_space)
+
+    def export_exr(self, path: str):
+        from platinum_tpu.io.exr import write_exr
+
+        write_exr(path, self.readback())
+
+    # Checkpoint / resume: the accumulator is the checkpoint (SURVEY.md §5)
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path, buckets=np.asarray(self._buckets),
+            accumulated=self._accumulated,
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        self._buckets = jnp.asarray(data["buckets"])
+        self._accumulated = int(data["accumulated"])
