@@ -68,6 +68,11 @@ class ShadingContext:
     clearcoat: jnp.ndarray
     clearcoat_roughness: jnp.ndarray
     flags: jnp.ndarray         # (R,) i32 material flags
+    # Per-material energy rows (see MaterialTable.energy); enable the cheap
+    # 1D energy path when roughness/metallic are untextured.
+    energy: jnp.ndarray | None = None      # (M, K, 4)
+    energy_avg: jnp.ndarray | None = None  # (M, 4)
+    mat_idx: jnp.ndarray | None = None     # (R,)
 
     @property
     def alpha(self):
@@ -89,12 +94,31 @@ def make_shading_context(
 ) -> ShadingContext:
     """Gather material parameters per ray; apply texture lookups when an
     atlas is present."""
-    albedo = materials.base_color[mat_idx, :3]
-    emission = materials.emission[mat_idx]
-    roughness = materials.roughness[mat_idx]
-    metallic = materials.metallic[mat_idx]
-    transmission = materials.transmission[mat_idx]
-    clearcoat = materials.clearcoat[mat_idx]
+    if materials.packed is not None:
+        row = materials.packed[mat_idx]  # one wide gather
+        albedo = row[..., 0:3]
+        emission = row[..., 4:7]
+        roughness = row[..., 7]
+        metallic = row[..., 8]
+        transmission = row[..., 9]
+        ior = row[..., 10]
+        anisotropy = row[..., 11]
+        anisotropy_rotation = row[..., 12]
+        clearcoat = row[..., 13]
+        clearcoat_roughness = row[..., 14]
+        flags = jax.lax.bitcast_convert_type(row[..., 15], jnp.int32)
+    else:
+        albedo = materials.base_color[mat_idx, :3]
+        emission = materials.emission[mat_idx]
+        roughness = materials.roughness[mat_idx]
+        metallic = materials.metallic[mat_idx]
+        transmission = materials.transmission[mat_idx]
+        ior = materials.ior[mat_idx]
+        anisotropy = materials.anisotropy[mat_idx]
+        anisotropy_rotation = materials.anisotropy_rotation[mat_idx]
+        clearcoat = materials.clearcoat[mat_idx]
+        clearcoat_roughness = materials.clearcoat_roughness[mat_idx]
+        flags = materials.flags[mat_idx]
 
     if atlas is not None and atlas_table is not None:
         from platinum_tpu.ops.texturing import sample_material_textures
@@ -117,12 +141,15 @@ def make_shading_context(
         roughness=roughness,
         metallic=metallic,
         transmission=transmission,
-        ior=materials.ior[mat_idx],
-        anisotropy=materials.anisotropy[mat_idx],
-        anisotropy_rotation=materials.anisotropy_rotation[mat_idx],
+        ior=ior,
+        anisotropy=anisotropy,
+        anisotropy_rotation=anisotropy_rotation,
         clearcoat=clearcoat,
-        clearcoat_roughness=materials.clearcoat_roughness[mat_idx],
-        flags=materials.flags[mat_idx],
+        clearcoat_roughness=clearcoat_roughness,
+        flags=flags,
+        energy=materials.energy,
+        energy_avg=materials.energy_avg,
+        mat_idx=mat_idx,
     )
 
 
@@ -148,11 +175,34 @@ def _ior_param(ior):
     return (ior - 1.0) / jnp.maximum(ior, 1e-6)
 
 
-def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg):
+def _use_rows(ctx, features) -> bool:
+    return "tex_rough" not in features and ctx.energy is not None
+
+
+def _energy_row(ctx, cos):
+    """Interpolated (R, 4) [E, E_ms, E_trans_in, E_trans_out] at per-lane
+    cos from the per-material rows — 2 gathers instead of 12-16 for the
+    generic 2D/3D LUT path (XLA CSEs repeated identical lookups)."""
+    k = ctx.energy.shape[1]
+    x = jnp.clip(cos * k - 0.5, 0.0, k - 1.0)
+    x0 = jnp.floor(x)
+    f = (x - x0)[..., None]
+    i0 = x0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, k - 1)
+    return ctx.energy[ctx.mat_idx, i0] * (1 - f) + ctx.energy[ctx.mat_idx, i1] * f
+
+
+def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg,
+                            ctx=None, features=None):
     """Kulla-Conty multiple-scattering lobe; f_avg may be (R,) or (R,3)."""
-    e_wo = luts_mod.sample2d(luts.E, wo_z, rough)
-    e_wi = luts_mod.sample2d(luts.E, wi_z, rough)
-    e_avg = luts_mod.sample1d(luts.E_avg, rough)
+    if ctx is not None and features is not None and _use_rows(ctx, features):
+        e_wo = _energy_row(ctx, wo_z)[..., 0]
+        e_wi = _energy_row(ctx, wi_z)[..., 0]
+        e_avg = ctx.energy_avg[ctx.mat_idx, 0]
+    else:
+        e_wo = luts_mod.sample2d(luts.E, wo_z, rough)
+        e_wi = luts_mod.sample2d(luts.E, wi_z, rough)
+        e_avg = luts_mod.sample1d(luts.E_avg, rough)
     brdf_ms = (1.0 - e_wo) * (1.0 - e_wi) / (np.pi * jnp.maximum(1.0 - e_avg, 1e-5))
     if f_avg.ndim == rough.ndim + 1:
         e_avg = e_avg[..., None]
@@ -161,35 +211,49 @@ def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg):
     return fresnel_ms * brdf_ms
 
 
-def _transparent_multiscatter(luts, rough, wo_z, ior):
+def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None):
     """Turquin 1/E_wo energy compensation for the transparent lobe."""
     into = ior >= 1.0
-    param_in = _ior_param(ior)
-    param_out = 1.0 - ior
-    e_in = luts_mod.sample3d(luts.E_trans_in, jnp.abs(wo_z), rough, param_in)
-    e_out = luts_mod.sample3d(luts.E_trans_out, jnp.abs(wo_z), rough, param_out)
-    e_wo = jnp.where(into, e_in, e_out)
+    if ctx is not None and features is not None and _use_rows(ctx, features):
+        row = _energy_row(ctx, jnp.abs(wo_z))
+        e_wo = jnp.where(into, row[..., 2], row[..., 3])
+    else:
+        param_in = _ior_param(ior)
+        param_out = 1.0 - ior
+        e_in = luts_mod.sample3d(luts.E_trans_in, jnp.abs(wo_z), rough, param_in)
+        e_out = luts_mod.sample3d(luts.E_trans_out, jnp.abs(wo_z), rough, param_out)
+        e_wo = jnp.where(into, e_in, e_out)
     return 1.0 / jnp.maximum(e_wo, 1e-3)
 
 
-def _diffuse_factor(luts, ctx, wo_z, wi_z):
+def _diffuse_factor(luts, ctx, wo_z, wi_z, features=None):
     """Energy-conserving diffuse attenuation under a Fresnel-weighted GGX
     (Enterprise PBR; bsdf.metal:291-305)."""
-    p = _ior_param(ctx.ior)
-    e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
-    e_ms_wi = luts_mod.sample3d(luts.E_ms, wi_z, ctx.roughness, p)
-    e_ms_avg = luts_mod.sample2d(luts.E_ms_avg, p, ctx.roughness)
+    if features is not None and _use_rows(ctx, features):
+        e_ms_wo = _energy_row(ctx, wo_z)[..., 1]
+        e_ms_wi = _energy_row(ctx, wi_z)[..., 1]
+        e_ms_avg = ctx.energy_avg[ctx.mat_idx, 1]
+    else:
+        p = _ior_param(ctx.ior)
+        e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
+        e_ms_wi = luts_mod.sample3d(luts.E_ms, wi_z, ctx.roughness, p)
+        e_ms_avg = luts_mod.sample2d(luts.E_ms_avg, p, ctx.roughness)
     return (1.0 - e_ms_wo) * (1.0 - e_ms_wi) / (
         np.pi * jnp.maximum(1.0 - e_ms_avg, 1e-5)
     )
 
 
-def _opaque_dielectric_factor(luts, ctx, wo_z, f_avg):
+def _opaque_dielectric_factor(luts, ctx, wo_z, f_avg, features=None):
     """Blending weight of the dielectric GGX vs the diffuse base
     (bsdf.metal:311-326)."""
-    p = _ior_param(ctx.ior)
-    e_wo = luts_mod.sample2d(luts.E, wo_z, ctx.roughness)
-    e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
+    if features is not None and _use_rows(ctx, features):
+        row = _energy_row(ctx, wo_z)
+        e_wo = row[..., 0]
+        e_ms_wo = row[..., 1]
+    else:
+        p = _ior_param(ctx.ior)
+        e_wo = luts_mod.sample2d(luts.E, wo_z, ctx.roughness)
+        e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
     fresnel_ms = f_avg * f_avg * e_wo / jnp.maximum(1.0 - f_avg * (1.0 - e_wo), 1e-5)
     return jnp.clip(f_avg * e_ms_wo + fresnel_ms * (1.0 - e_ms_wo), 0.0, 0.999)
 
@@ -215,19 +279,60 @@ def _aniso_rotation(ctx):
 # Evaluation (NEE path) — bsdf.metal:199-224 and per-lobe evals
 # ---------------------------------------------------------------------------
 
+ALL_FEATURES = frozenset(
+    {"metallic", "transparent", "clearcoat", "smooth", "aniso", "thin",
+     "tex_rough"}
+)
+
+
+def scene_features(materials_host) -> frozenset:
+    """Static material-feature analysis for lobe pruning: which BSDF lobes /
+    paths can occur anywhere in the scene. `materials_host` is a host-side
+    view (numpy arrays) of the material table. Roughness/metallic textures
+    can only *reduce* values (they multiply factors), so texture presence is
+    folded conservatively."""
+    import numpy as _np
+
+    m = materials_host
+    feats = set()
+    has_rm_tex = bool((_np.asarray(m.textures)[:, 1] >= 0).any())
+    if has_rm_tex:
+        feats.add("tex_rough")
+    metallic = _np.asarray(m.metallic)
+    rough = _np.asarray(m.roughness)
+    if (metallic > 0).any():
+        feats.add("metallic")
+    if (_np.asarray(m.transmission) > 0).any():
+        feats.add("transparent")
+    if (_np.asarray(m.clearcoat) > 0).any():
+        feats.add("clearcoat")
+        if (_np.asarray(m.clearcoat_roughness) ** 2 < 1e-3).any():
+            feats.add("smooth")
+    if (_np.asarray(m.anisotropy) != 0).any():
+        feats.add("aniso")
+    if ((rough * rough) < 1e-3).any() or has_rm_tex:
+        feats.add("smooth")
+    if (_np.asarray(m.flags) & MAT_THIN).any():
+        feats.add("thin")
+    return frozenset(feats)
+
+
 def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
-             luts=None, multiscatter: bool = True) -> BSDFEval:
+             luts=None, multiscatter: bool = True,
+             features: frozenset = ALL_FEATURES) -> BSDFEval:
     luts = luts or luts_mod.get_luts()
     shape = wo.shape[:-1]
 
     # Rotate into the anisotropy frame
-    cos_a, sin_a = _aniso_rotation(ctx)
-    wo = _rotate_xy(wo, cos_a, -sin_a)
-    wi = _rotate_xy(wi, cos_a, -sin_a)
+    if "aniso" in features:
+        cos_a, sin_a = _aniso_rotation(ctx)
+        wo = _rotate_xy(wo, cos_a, -sin_a)
+        wi = _rotate_xy(wi, cos_a, -sin_a)
 
     valid = (wo[..., 2] >= MIN_COS) & (wi[..., 2] >= MIN_COS)
     alpha = ctx.alpha
-    smooth = ggx.is_smooth(alpha)
+    smooth = (ggx.is_smooth(alpha) if "smooth" in features
+              else jnp.zeros(shape, bool))
 
     m = ctx.metallic
     transparent = (1.0 - m) * ctx.transmission
@@ -247,37 +352,42 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
     pdf = jnp.zeros(shape)
 
     # --- metallic lobe ----------------------------------------------------
-    f_metal = fresnel.schlick(ctx.albedo, dot_wo_wm) * ss[..., None]
-    if multiscatter:
-        f_avg_c = fresnel.avg_conductor_fresnel(ctx.albedo)
-        f_metal = f_metal + _conductor_multiscatter(
-            luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg_c
-        )
-    use_metal = (m > 0.0) & ~smooth & wm_ok
-    f = f + jnp.where(use_metal[..., None], f_metal * m[..., None], 0.0)
-    pdf = pdf + jnp.where(use_metal, ggx_pdf * m, 0.0)
+    if "metallic" in features:
+        f_metal = fresnel.schlick(ctx.albedo, dot_wo_wm) * ss[..., None]
+        if multiscatter:
+            f_avg_c = fresnel.avg_conductor_fresnel(ctx.albedo)
+            f_metal = f_metal + _conductor_multiscatter(
+                luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg_c,
+                ctx=ctx, features=features,
+            )
+        use_metal = (m > 0.0) & ~smooth & wm_ok
+        f = f + jnp.where(use_metal[..., None], f_metal * m[..., None], 0.0)
+        pdf = pdf + jnp.where(use_metal, ggx_pdf * m, 0.0)
 
     # --- transparent lobe (reflection side only: wi.z > 0 here) ------------
-    f_ss_t = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), ctx.ior)
-    f_trans = jnp.broadcast_to((f_ss_t * ss)[..., None], shape + (3,))
-    if multiscatter:
-        comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2], ctx.ior)
-        f_trans = f_trans * comp[..., None]
-    use_trans = (transparent > 0.0) & ~smooth & wm_ok
-    f = f + jnp.where(use_trans[..., None], f_trans * (f_ss_t * 0 + transparent)[..., None], 0.0)
-    pdf = pdf + jnp.where(use_trans, f_ss_t * ggx_pdf * transparent, 0.0)
+    if "transparent" in features:
+        f_ss_t = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), ctx.ior)
+        f_trans = jnp.broadcast_to((f_ss_t * ss)[..., None], shape + (3,))
+        if multiscatter:
+            comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2],
+                                         ctx.ior, ctx=ctx, features=features)
+            f_trans = f_trans * comp[..., None]
+        use_trans = (transparent > 0.0) & ~smooth & wm_ok
+        f = f + jnp.where(use_trans[..., None], f_trans * transparent[..., None], 0.0)
+        pdf = pdf + jnp.where(use_trans, f_ss_t * ggx_pdf * transparent, 0.0)
 
     # --- opaque dielectric lobe --------------------------------------------
     f_avg = fresnel.avg_dielectric_fresnel_fit(ctx.ior)
-    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg)
-    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi[..., 2])
+    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg, features)
+    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi[..., 2], features)
     diffuse_pdf = jnp.abs(wi[..., 2]) / np.pi
 
     f_ss_o = fresnel.fresnel_dielectric(dot_wo_wm, ctx.ior)
     dielectric = f_ss_o * ss
     if multiscatter:
         dielectric = dielectric + _conductor_multiscatter(
-            luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg
+            luts, ctx.roughness, wo[..., 2], wi[..., 2], f_avg,
+            ctx=ctx, features=features,
         )
     f_opaque_rough = dielectric[..., None] + ctx.albedo * c_diffuse[..., None]
     pdf_opaque_rough = ggx_pdf * bf + diffuse_pdf * (1.0 - bf)
@@ -291,16 +401,19 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
     pdf = pdf + jnp.where(use_opaque, pdf_opaque * opaque, 0.0)
 
     # --- clearcoat ----------------------------------------------------------
-    coat_alpha = ctx.coat_alpha
-    coat_smooth = ggx.is_smooth(coat_alpha)
-    coat_ss = ggx.single_scatter_brdf(coat_alpha, wo, wi, wm)
-    coat_f_ss = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), CLEARCOAT_IOR)
-    coat_pdf = ggx.pdf(coat_alpha, wo, wm)
-    coat = ctx.clearcoat * jnp.where(coat_smooth | ~wm_ok, 0.0, coat_f_ss)
-    f = f * (1.0 - coat[..., None]) + jnp.where(
-        (coat > 0)[..., None], coat_ss[..., None] * coat[..., None], 0.0
-    )
-    pdf = pdf * (1.0 - coat) + jnp.where(coat > 0, coat_pdf * coat, 0.0)
+    if "clearcoat" in features:
+        coat_alpha = ctx.coat_alpha
+        coat_smooth = ggx.is_smooth(coat_alpha)
+        coat_ss = ggx.single_scatter_brdf(coat_alpha, wo, wi, wm)
+        coat_f_ss = fresnel.fresnel_dielectric(
+            jnp.sum(wo * wm, axis=-1), CLEARCOAT_IOR
+        )
+        coat_pdf = ggx.pdf(coat_alpha, wo, wm)
+        coat = ctx.clearcoat * jnp.where(coat_smooth | ~wm_ok, 0.0, coat_f_ss)
+        f = f * (1.0 - coat[..., None]) + jnp.where(
+            (coat > 0)[..., None], coat_ss[..., None] * coat[..., None], 0.0
+        )
+        pdf = pdf * (1.0 - coat) + jnp.where(coat > 0, coat_pdf * coat, 0.0)
 
     f = jnp.where(valid[..., None], f, 0.0)
     pdf = jnp.where(valid, pdf, 0.0)
@@ -312,41 +425,53 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarray,
-           luts=None, multiscatter: bool = True) -> BSDFSample:
+           luts=None, multiscatter: bool = True,
+           features: frozenset = ALL_FEATURES) -> BSDFSample:
     luts = luts or luts_mod.get_luts()
     shape = wo.shape[:-1]
 
-    cos_a, sin_a = _aniso_rotation(ctx)
-    wo = _rotate_xy(wo, cos_a, -sin_a)
+    has_smooth = "smooth" in features
+    has_metal = "metallic" in features
+    has_trans = "transparent" in features
+    has_coat = "clearcoat" in features
+
+    if "aniso" in features:
+        cos_a, sin_a = _aniso_rotation(ctx)
+        wo = _rotate_xy(wo, cos_a, -sin_a)
 
     alpha = ctx.alpha
-    smooth = ggx.is_smooth(alpha)
-    coat_alpha = ctx.coat_alpha
-    coat_smooth = ggx.is_smooth(coat_alpha)
-    thin = ctx.thin
+    smooth = ggx.is_smooth(alpha) if has_smooth else jnp.zeros(shape, bool)
+    thin = ctx.thin if "thin" in features else jnp.zeros(shape, bool)
 
     m = ctx.metallic
     t = ctx.transmission
     c = ctx.clearcoat
 
     # Lobe-selection probabilities (bsdf.metal:229-252)
-    wm_coat = jnp.where(
-        coat_smooth[..., None],
-        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
-        ggx.sample_vmdf(coat_alpha, wo, rc),
-    )
-    p_coat = c * fresnel.fresnel_dielectric(
-        jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
-    )
-    p_coat = jnp.where(c > 0.0, p_coat, 0.0)
+    if has_coat:
+        coat_alpha = ctx.coat_alpha
+        coat_smooth = ggx.is_smooth(coat_alpha)
+        wm_coat = jnp.where(
+            coat_smooth[..., None],
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wo.shape),
+            ggx.sample_vmdf(coat_alpha, wo, rc),
+        )
+        p_coat = c * fresnel.fresnel_dielectric(
+            jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
+        )
+        p_coat = jnp.where(c > 0.0, p_coat, 0.0)
+    else:
+        p_coat = jnp.zeros(shape)
     p_metal = p_coat + (1.0 - p_coat) * m
     p_transparent = p_coat + (1.0 - p_coat) * (m + (1.0 - m) * t)
 
     rw = r4[..., 3]
-    sel_coat = rw < p_coat
-    sel_metal = ~sel_coat & (rw < p_metal)
-    sel_trans = ~sel_coat & ~sel_metal & (rw < p_transparent)
-    sel_opaque = ~sel_coat & ~sel_metal & ~sel_trans
+    sel_coat = (rw < p_coat) if has_coat else jnp.zeros(shape, bool)
+    sel_metal = ~sel_coat & (rw < p_metal) if has_metal else jnp.zeros(shape, bool)
+    sel_trans = (
+        ~sel_coat & ~sel_metal & (rw < p_transparent)
+        if has_trans else jnp.zeros(shape, bool)
+    )
 
     u2 = r4[..., :2]
     rz = r4[..., 2]
@@ -358,113 +483,118 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     )
 
     # --- metallic ------------------------------------------------------------
-    wi_metal_r = ggx.reflect(-wo, wm)
-    bad_metal = wo[..., 2] * wi_metal_r[..., 2] < 0.0
-    f_metal_r = fresnel.schlick(ctx.albedo, jnp.abs(dot_wo_wm)) * \
-        ggx.single_scatter_brdf(alpha, wo, wi_metal_r, wm)[..., None]
-    if multiscatter:
-        f_metal_r = f_metal_r + _conductor_multiscatter(
-            luts, ctx.roughness, wo[..., 2], wi_metal_r[..., 2],
-            fresnel.avg_conductor_fresnel(ctx.albedo),
-        )
-    pdf_metal_r = ggx.pdf(alpha, wo, wm)
-    f_metal_s = fresnel.schlick(ctx.albedo, wo[..., 2]) / jnp.maximum(
-        jnp.abs(wo[..., 2]), 1e-20
-    )[..., None]
+    if has_metal:
+        wi_metal_r = ggx.reflect(-wo, wm)
+        bad_metal = wo[..., 2] * wi_metal_r[..., 2] < 0.0
+        f_metal_r = fresnel.schlick(ctx.albedo, jnp.abs(dot_wo_wm)) * \
+            ggx.single_scatter_brdf(alpha, wo, wi_metal_r, wm)[..., None]
+        if multiscatter:
+            f_metal_r = f_metal_r + _conductor_multiscatter(
+                luts, ctx.roughness, wo[..., 2], wi_metal_r[..., 2],
+                fresnel.avg_conductor_fresnel(ctx.albedo),
+                ctx=ctx, features=features,
+            )
+        pdf_metal_r = ggx.pdf(alpha, wo, wm)
+        f_metal_s = fresnel.schlick(ctx.albedo, wo[..., 2]) / jnp.maximum(
+            jnp.abs(wo[..., 2]), 1e-20
+        )[..., None]
 
-    wi_metal = jnp.where(smooth[..., None], wi_spec_mirror, wi_metal_r)
-    f_metal = jnp.where(smooth[..., None], f_metal_s,
-                        jnp.where(bad_metal[..., None], 0.0, f_metal_r))
-    pdf_metal = jnp.where(smooth, 1.0, jnp.where(bad_metal, 0.0, pdf_metal_r))
-    flags_metal = jnp.where(
-        smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR, SAMPLE_REFLECTED | SAMPLE_GLOSSY
-    )
+        wi_metal = jnp.where(smooth[..., None], wi_spec_mirror, wi_metal_r)
+        f_metal = jnp.where(smooth[..., None], f_metal_s,
+                            jnp.where(bad_metal[..., None], 0.0, f_metal_r))
+        pdf_metal = jnp.where(smooth, 1.0, jnp.where(bad_metal, 0.0, pdf_metal_r))
+        flags_metal = jnp.where(
+            smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR,
+            SAMPLE_REFLECTED | SAMPLE_GLOSSY,
+        )
 
     # --- transparent dielectric ----------------------------------------------
-    ior_t = jnp.where((wo[..., 2] < 0.0) & ~thin, 1.0 / ctx.ior, ctx.ior)
-    # rough path
-    f_ss = fresnel.fresnel_dielectric(jnp.abs(dot_wo_wm), ior_t)
-    reflecting = rz < f_ss
-    wi_refl = ggx.reflect(-wo, wm)
-    wi_thin = wi_refl * jnp.array([1.0, 1.0, -1.0])
-    wm_signed = wm * jnp.where(dot_wo_wm[..., None] < 0, -1.0, 1.0)
-    wi_refr = ggx.refract(-wo, wm_signed, 1.0 / ior_t)
-    wi_tr = jnp.where(
-        reflecting[..., None], wi_refl,
-        jnp.where(thin[..., None], wi_thin, wi_refr),
-    )
-    same_side = wo[..., 2] * wi_tr[..., 2] > 0.0
-    bad_tr = jnp.where(
-        reflecting, ~same_side,
-        jnp.where(thin, jnp.zeros_like(same_side), same_side),
-    )
-    # eval (bsdf.metal:376-417): reflection or thin → ss brdf; else btdf
-    ss_tr = ggx.single_scatter_brdf(alpha, wo, wi_tr, wm)
-    pdf_r = ggx.pdf(alpha, wo, wm)
-    dot_i = jnp.sum(wi_tr * wm, axis=-1)
-    denom = (dot_i * ior_t + dot_wo_wm) ** 2
-    dwm_dwi = jnp.abs(dot_i) / jnp.maximum(denom, 1e-20)
-    btdf = ggx.mdf(alpha, wm) * ggx.g(alpha, wo, wi_tr) * jnp.abs(
-        dot_i * dot_wo_wm
-        / (wi_tr[..., 2] * wo[..., 2] * jnp.maximum(denom, 1e-20))
-    )
-    pdf_t = ggx.vmdf(alpha, wo, wm) * dwm_dwi
-    is_refl_like = reflecting | thin
-    k = jnp.where(reflecting, f_ss, 1.0 - f_ss)
-    base = jnp.where(reflecting, ss_tr, jnp.where(thin, ss_tr, btdf))
-    f_tr_rough = k * base
-    f_tr_rough = jnp.where(
-        reflecting, f_tr_rough,
-        f_tr_rough,  # albedo applied below on transmission only
-    )
-    color_tr = jnp.where(reflecting[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
-    if multiscatter:
-        comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2], ior_t)
-        f_tr_rough = f_tr_rough * comp
-    pdf_tr_rough = k * jnp.where(reflecting | thin, pdf_r, pdf_t)
+    if has_trans:
+        ior_t = jnp.where((wo[..., 2] < 0.0) & ~thin, 1.0 / ctx.ior, ctx.ior)
+        # rough path
+        f_ss = fresnel.fresnel_dielectric(jnp.abs(dot_wo_wm), ior_t)
+        reflecting = rz < f_ss
+        wi_refl = ggx.reflect(-wo, wm)
+        wi_thin = wi_refl * jnp.array([1.0, 1.0, -1.0])
+        wm_signed = wm * jnp.where(dot_wo_wm[..., None] < 0, -1.0, 1.0)
+        wi_refr = ggx.refract(-wo, wm_signed, 1.0 / ior_t)
+        wi_tr = jnp.where(
+            reflecting[..., None], wi_refl,
+            jnp.where(thin[..., None], wi_thin, wi_refr),
+        )
+        same_side = wo[..., 2] * wi_tr[..., 2] > 0.0
+        bad_tr = jnp.where(
+            reflecting, ~same_side,
+            jnp.where(thin, jnp.zeros_like(same_side), same_side),
+        )
+        # eval (bsdf.metal:376-417): reflection or thin → ss brdf; else btdf
+        ss_tr = ggx.single_scatter_brdf(alpha, wo, wi_tr, wm)
+        pdf_r = ggx.pdf(alpha, wo, wm)
+        dot_i = jnp.sum(wi_tr * wm, axis=-1)
+        denom = (dot_i * ior_t + dot_wo_wm) ** 2
+        dwm_dwi = jnp.abs(dot_i) / jnp.maximum(denom, 1e-20)
+        btdf = ggx.mdf(alpha, wm) * ggx.g(alpha, wo, wi_tr) * jnp.abs(
+            dot_i * dot_wo_wm
+            / (wi_tr[..., 2] * wo[..., 2] * jnp.maximum(denom, 1e-20))
+        )
+        pdf_t = ggx.vmdf(alpha, wo, wm) * dwm_dwi
+        is_refl_like = reflecting | thin
+        k = jnp.where(reflecting, f_ss, 1.0 - f_ss)
+        base = jnp.where(reflecting, ss_tr, jnp.where(thin, ss_tr, btdf))
+        f_tr_rough = k * base
+        f_tr_rough = jnp.where(
+            reflecting, f_tr_rough,
+            f_tr_rough,  # albedo applied below on transmission only
+        )
+        color_tr = jnp.where(reflecting[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
+        if multiscatter:
+            comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2],
+                                             ior_t, ctx=ctx, features=features)
+            f_tr_rough = f_tr_rough * comp
+        pdf_tr_rough = k * jnp.where(reflecting | thin, pdf_r, pdf_t)
 
-    # smooth path (bsdf.metal:586-617)
-    f_ss_smooth = fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), ior_t)
-    refl_s = rz < f_ss_smooth
-    wi_tr_smooth_t = jnp.where(
-        thin[..., None], -wo,
-        ggx.refract(
-            -wo,
-            jnp.concatenate(
-                [jnp.zeros(shape + (2,)),
-                 jnp.where(wo[..., 2] < 0, -1.0, 1.0)[..., None]], axis=-1
+        # smooth path (bsdf.metal:586-617)
+        f_ss_smooth = fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), ior_t)
+        refl_s = rz < f_ss_smooth
+        wi_tr_smooth_t = jnp.where(
+            thin[..., None], -wo,
+            ggx.refract(
+                -wo,
+                jnp.concatenate(
+                    [jnp.zeros(shape + (2,)),
+                     jnp.where(wo[..., 2] < 0, -1.0, 1.0)[..., None]], axis=-1
+                ),
+                1.0 / ior_t,
             ),
-            1.0 / ior_t,
-        ),
-    )
-    wi_tr_smooth = jnp.where(refl_s[..., None], wi_spec_mirror, wi_tr_smooth_t)
-    bad_tr_smooth = ~refl_s & (jnp.abs(wi_tr_smooth[..., 2]) < 1e-9)
-    pdf_tr_smooth = jnp.where(refl_s, f_ss_smooth, 1.0 - f_ss_smooth)
-    color_smooth = jnp.where(refl_s[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
-    f_tr_smooth = (
-        pdf_tr_smooth / jnp.maximum(jnp.abs(wi_tr_smooth[..., 2]), 1e-20)
-    )
+        )
+        wi_tr_smooth = jnp.where(refl_s[..., None], wi_spec_mirror, wi_tr_smooth_t)
+        bad_tr_smooth = ~refl_s & (jnp.abs(wi_tr_smooth[..., 2]) < 1e-9)
+        pdf_tr_smooth = jnp.where(refl_s, f_ss_smooth, 1.0 - f_ss_smooth)
+        color_smooth = jnp.where(refl_s[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
+        f_tr_smooth = (
+            pdf_tr_smooth / jnp.maximum(jnp.abs(wi_tr_smooth[..., 2]), 1e-20)
+        )
 
-    wi_trans = jnp.where(smooth[..., None], wi_tr_smooth, wi_tr)
-    f_trans = jnp.where(
-        smooth[..., None],
-        jnp.where(bad_tr_smooth[..., None], 0.0, f_tr_smooth[..., None] * color_smooth),
-        jnp.where(bad_tr[..., None], 0.0, f_tr_rough[..., None] * color_tr),
-    )
-    pdf_trans = jnp.where(
-        smooth,
-        jnp.where(bad_tr_smooth, 0.0, pdf_tr_smooth),
-        jnp.where(bad_tr, 0.0, pdf_tr_rough),
-    )
-    transmitted = jnp.where(smooth, ~refl_s, ~reflecting)
-    flags_trans = (
-        jnp.where(transmitted, SAMPLE_TRANSMITTED, SAMPLE_REFLECTED)
-        | jnp.where(smooth, SAMPLE_SPECULAR, SAMPLE_GLOSSY)
-    )
+        wi_trans = jnp.where(smooth[..., None], wi_tr_smooth, wi_tr)
+        f_trans = jnp.where(
+            smooth[..., None],
+            jnp.where(bad_tr_smooth[..., None], 0.0, f_tr_smooth[..., None] * color_smooth),
+            jnp.where(bad_tr[..., None], 0.0, f_tr_rough[..., None] * color_tr),
+        )
+        pdf_trans = jnp.where(
+            smooth,
+            jnp.where(bad_tr_smooth, 0.0, pdf_tr_smooth),
+            jnp.where(bad_tr, 0.0, pdf_tr_rough),
+        )
+        transmitted = jnp.where(smooth, ~refl_s, ~reflecting)
+        flags_trans = (
+            jnp.where(transmitted, SAMPLE_TRANSMITTED, SAMPLE_REFLECTED)
+            | jnp.where(smooth, SAMPLE_SPECULAR, SAMPLE_GLOSSY)
+        )
 
     # --- opaque dielectric -----------------------------------------------------
     f_avg = fresnel.avg_dielectric_fresnel_fit(ctx.ior)
-    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg)
+    bf = _opaque_dielectric_factor(luts, ctx, wo[..., 2], f_avg, features)
     pick_dielectric = rz < bf
 
     # dielectric sub-lobe
@@ -478,7 +608,8 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     diel_rough = f_ss_or * ggx.single_scatter_brdf(alpha, wo, wi_op_r, wm)
     if multiscatter:
         diel_rough = diel_rough + _conductor_multiscatter(
-            luts, ctx.roughness, wo[..., 2], wi_op_r[..., 2], f_avg
+            luts, ctx.roughness, wo[..., 2], wi_op_r[..., 2], f_avg,
+            ctx=ctx, features=features,
         )
     pdf_op_d_rough = ggx.pdf(alpha, wo, wm) * bf
 
@@ -496,7 +627,7 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     # diffuse sub-lobe
     wi_diff = smp.sample_cosine_hemisphere(u2)
     wi_diff = wi_diff * jnp.where(wo[..., 2:3] < 0.0, -1.0, 1.0)
-    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi_diff[..., 2])
+    c_diffuse = _diffuse_factor(luts, ctx, wo[..., 2], wi_diff[..., 2], features)
     f_diff = ctx.albedo * c_diffuse[..., None]
     pdf_diff = jnp.abs(wi_diff[..., 2]) / np.pi * (1.0 - bf)
     flags_diff = jnp.full(shape, SAMPLE_REFLECTED | SAMPLE_DIFFUSE, jnp.int32)
@@ -510,47 +641,51 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     flags_opaque = jnp.where(pick_dielectric, flags_op_d, flags_diff)
 
     # --- clearcoat ----------------------------------------------------------
-    f_coat_ss = fresnel.fresnel_dielectric(
-        jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
-    )
-    wi_coat_r = ggx.reflect(-wo, wm_coat)
-    bad_coat = wo[..., 2] * wi_coat_r[..., 2] < 0.0
-    f_coat_rough = f_coat_ss * ggx.single_scatter_brdf(coat_alpha, wo, wi_coat_r, wm_coat)
-    pdf_coat_rough = f_coat_ss * ggx.pdf(coat_alpha, wo, wm_coat)
-    f_coat_s = fresnel.fresnel_dielectric(wo[..., 2], CLEARCOAT_IOR)
+    if has_coat:
+        f_coat_ss = fresnel.fresnel_dielectric(
+            jnp.abs(jnp.sum(wo * wm_coat, axis=-1)), CLEARCOAT_IOR
+        )
+        wi_coat_r = ggx.reflect(-wo, wm_coat)
+        bad_coat = wo[..., 2] * wi_coat_r[..., 2] < 0.0
+        f_coat_rough = f_coat_ss * ggx.single_scatter_brdf(coat_alpha, wo, wi_coat_r, wm_coat)
+        pdf_coat_rough = f_coat_ss * ggx.pdf(coat_alpha, wo, wm_coat)
+        f_coat_s = fresnel.fresnel_dielectric(wo[..., 2], CLEARCOAT_IOR)
 
-    wi_coat = jnp.where(coat_smooth[..., None], wi_spec_mirror, wi_coat_r)
-    f_coat = jnp.where(
-        coat_smooth,
-        f_coat_s / jnp.maximum(jnp.abs(wo[..., 2]), 1e-20),
-        jnp.where(bad_coat, 0.0, f_coat_rough),
-    )
-    pdf_coat = jnp.where(coat_smooth, f_coat_s,
-                         jnp.where(bad_coat, 0.0, pdf_coat_rough))
-    flags_coat = jnp.where(
-        coat_smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR,
-        SAMPLE_REFLECTED | SAMPLE_GLOSSY,
-    )
-
-    # --- select lobe ----------------------------------------------------------
-    def pick(vc, vm, vt, vo):
-        return jnp.where(
-            sel_coat, vc, jnp.where(sel_metal, vm, jnp.where(sel_trans, vt, vo))
+        wi_coat = jnp.where(coat_smooth[..., None], wi_spec_mirror, wi_coat_r)
+        f_coat = jnp.where(
+            coat_smooth,
+            f_coat_s / jnp.maximum(jnp.abs(wo[..., 2]), 1e-20),
+            jnp.where(bad_coat, 0.0, f_coat_rough),
+        )
+        pdf_coat = jnp.where(coat_smooth, f_coat_s,
+                             jnp.where(bad_coat, 0.0, pdf_coat_rough))
+        flags_coat = jnp.where(
+            coat_smooth, SAMPLE_REFLECTED | SAMPLE_SPECULAR,
+            SAMPLE_REFLECTED | SAMPLE_GLOSSY,
         )
 
-    def pick3(vc, vm, vt, vo):
-        sc = sel_coat[..., None]
-        sm = sel_metal[..., None]
-        st = sel_trans[..., None]
-        return jnp.where(sc, vc, jnp.where(sm, vm, jnp.where(st, vt, vo)))
+    # --- select lobe ----------------------------------------------------------
+    def pick(sel, a, b, expand=False):
+        return jnp.where(sel[..., None] if expand else sel, a, b)
 
-    wi = pick3(wi_coat, wi_metal, wi_trans, wi_opaque)
-    f = pick3(
-        jnp.broadcast_to(f_coat[..., None], shape + (3,)),
-        f_metal, f_trans, f_opaque,
-    )
-    pdf = pick(pdf_coat, pdf_metal, pdf_trans, pdf_opaque)
-    flags = pick(flags_coat, flags_metal, flags_trans, flags_opaque).astype(jnp.int32)
+    wi, f, pdf, flags = wi_opaque, f_opaque, pdf_opaque, flags_opaque
+    if has_trans:
+        wi = pick(sel_trans, wi_trans, wi, expand=True)
+        f = pick(sel_trans, f_trans, f, expand=True)
+        pdf = pick(sel_trans, pdf_trans, pdf)
+        flags = pick(sel_trans, flags_trans, flags)
+    if has_metal:
+        wi = pick(sel_metal, wi_metal, wi, expand=True)
+        f = pick(sel_metal, f_metal, f, expand=True)
+        pdf = pick(sel_metal, pdf_metal, pdf)
+        flags = pick(sel_metal, flags_metal, flags)
+    if has_coat:
+        wi = pick(sel_coat, wi_coat, wi, expand=True)
+        f = pick(sel_coat, jnp.broadcast_to(f_coat[..., None], shape + (3,)), f,
+                 expand=True)
+        pdf = pick(sel_coat, pdf_coat, pdf)
+        flags = pick(sel_coat, flags_coat, flags)
+    flags = flags.astype(jnp.int32)
 
     # zero-pdf lanes are dead samples
     dead = pdf <= 0.0
@@ -558,7 +693,8 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     f = jnp.where(dead[..., None], 0.0, f)
 
     # Rotate wi back out of the anisotropy frame
-    wi = _rotate_xy(wi, cos_a, sin_a)
+    if "aniso" in features:
+        wi = _rotate_xy(wi, cos_a, sin_a)
     return BSDFSample(wi=wi, f=f, pdf=pdf, flags=flags)
 
 

@@ -143,30 +143,38 @@ def sample_area_light(
 ) -> LightSample:
     """Power-proportional pick + uniform point on the triangle
     (kernel.metal:379-435)."""
-    r = u_select * lights.total_power
-    idx = jnp.clip(
-        jnp.searchsorted(lights.cum_power, r, side="left"), 0, lights.count - 1
-    )
-    tri = lights.tri[idx]
-    vi = geometry.indices[tri]
-    v0 = geometry.positions[vi[..., 0]]
-    v1 = geometry.positions[vi[..., 1]]
-    v2 = geometry.positions[vi[..., 2]]
+    # O(1) alias-table pick (replaces the reference's binary search,
+    # kernel.metal:379-394), reusing the draw's leftover bits for the accept
+    import jax.lax as lax
+
+    n = lights.packed.shape[0]
+    scaled = u_select * n
+    slot = jnp.minimum(scaled.astype(jnp.int32), n - 1)
+    frac = jnp.clip(scaled - slot.astype(jnp.float32), 0.0, 1.0)
+    row = lights.packed[slot]  # one wide gather: slot row
+    take_alias = frac >= row[..., 14]
+    alias = lax.bitcast_convert_type(row[..., 15], jnp.int32)
+    row = jnp.where(take_alias[..., None], lights.packed[alias], row)
+
+    v0 = row[..., 0:3]
+    e1 = row[..., 3:6]
+    e2 = row[..., 6:9]
+    emission = row[..., 9:12]
+    area = row[..., 12]
+    p_light = row[..., 13]
 
     b = smp.sample_tri_uniform(u2)
-    pos = v0 * (1.0 - b[..., 0:1] - b[..., 1:2]) + v1 * b[..., 0:1] + v2 * b[..., 1:2]
-    n = jnp.cross(v1 - v0, v2 - v0)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    pos = v0 + e1 * b[..., 0:1] + e2 * b[..., 1:2]
+    nrm = jnp.cross(e1, e2)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
 
     delta = pos - hit_pos
     dist2 = jnp.sum(delta * delta, axis=-1)
     dist = jnp.sqrt(dist2)
     wi = delta / jnp.maximum(dist[..., None], 1e-20)
-    cos_l = jnp.abs(jnp.sum(n * wi, axis=-1))
-    pdf = dist2 / jnp.maximum(cos_l * lights.area[idx], 1e-20)
-    p_light = lights.power[idx] / jnp.maximum(lights.total_power, 1e-20)
-    return LightSample(li=lights.emission[idx], wi=wi, dist=dist, pdf=pdf,
-                       p_light=p_light)
+    cos_l = jnp.abs(jnp.sum(nrm * wi, axis=-1))
+    pdf = dist2 / jnp.maximum(cos_l * area, 1e-20)
+    return LightSample(li=emission, wi=wi, dist=dist, pdf=pdf, p_light=p_light)
 
 
 def p_infinite(lights: LightTable, env: EnvironmentLight) -> jnp.ndarray:

@@ -43,25 +43,32 @@ def _norm(v):
 
 def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
                     d: jnp.ndarray) -> HitData:
+    import jax.lax as lax
+
     tri = jnp.where(rec.hit, rec.tri, 0)  # safe gather index on misses
-    vi = geometry.indices[tri]
     u = rec.bary[..., 0:1]
     v = rec.bary[..., 1:2]
     w = 1.0 - u - v
 
-    def interp(attr):
-        return attr[vi[..., 0]] * w + attr[vi[..., 1]] * u + attr[vi[..., 2]] * v
+    # Two wide-row gathers replace ~14 narrow ones (gathers dominate on this
+    # backend): tri_shade packs per-corner normals/tangent/uvs, tri_geo packs
+    # v0/e1/e2 + the material index.
+    shade = geometry.tri_shade[tri]   # (R, 24)
+    geo = geometry.tri_geo[tri]       # (R, 12)
 
-    p0 = geometry.positions[vi[..., 0]]
-    p1 = geometry.positions[vi[..., 1]]
-    p2 = geometry.positions[vi[..., 2]]
+    n0 = shade[..., 0:3]
+    n1 = shade[..., 3:6]
+    n2 = shade[..., 6:9]
+    tangent4 = shade[..., 9:13]
+    uv = shade[..., 13:15] * w + shade[..., 15:17] * u + shade[..., 17:19] * v
 
-    normal = _norm(interp(geometry.normals))
-    tangent4 = interp(geometry.tangents)
+    normal = _norm(n0 * w + n1 * u + n2 * v)
     tangent = _norm(tangent4[..., :3])
-    sign = geometry.tangents[vi[..., 0], 3]
-    uv = interp(geometry.uvs)
-    gnormal = _norm(jnp.cross(p1 - p0, p2 - p0))
+    sign = tangent4[..., 3]
+    e1 = geo[..., 3:6]
+    e2 = geo[..., 6:9]
+    gnormal = _norm(jnp.cross(e1, e2))
+    mat_idx = lax.bitcast_convert_type(geo[..., 9], jnp.int32)
 
     t = jnp.where(rec.hit, rec.t, 0.0)
     pos = o + d * t[..., None]
@@ -76,5 +83,5 @@ def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
         wo=wo,
         frame_t=fr[0],
         frame_b=fr[1],
-        mat_idx=geometry.tri_material[tri],
+        mat_idx=mat_idx,
     )

@@ -83,6 +83,10 @@ def make_brute_tracer(geometry: Geometry, chunk: int = 256):
     trace_any(o, d, tmin, tmax)     → (R,) bool occlusion
     tmin/tmax may be scalars or per-ray (R,) arrays.
     """
+    n_tris = int(geometry.indices.shape[0])
+    # Don't pad tiny scenes up to a full chunk (a 12-tri Cornell padded to
+    # 256 wastes 20x the math/bandwidth)
+    chunk = min(chunk, max(8, 1 << (n_tris - 1).bit_length()))
     v0c, e1c, e2c, _ = _chunk_triangles(geometry, chunk)
     nc = v0c.shape[0]
 

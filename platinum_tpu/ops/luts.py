@@ -126,3 +126,43 @@ def sample3d(lut: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w_: jnp.ndarray) 
         )
 
     return bil(z0) * (1 - fz) + bil(z1) * fz
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) mirrors of the samplers — used by the flattener to bake
+# per-material energy rows (same clamp-to-edge texel-center semantics)
+# ---------------------------------------------------------------------------
+
+def _axis_np(coord, n):
+    x = np.clip(np.asarray(coord, np.float64) * n - 0.5, 0.0, n - 1.0)
+    x0 = np.floor(x)
+    return x0.astype(np.int64), np.minimum(x0 + 1, n - 1).astype(np.int64), x - x0
+
+
+def sample1d_np(lut, u):
+    lut = np.asarray(lut)
+    i0, i1, f = _axis_np(u, lut.shape[0])
+    return lut[i0] * (1 - f) + lut[i1] * f
+
+
+def sample2d_np(lut, u, v):
+    lut = np.asarray(lut)
+    h, w = lut.shape
+    x0, x1, fx = _axis_np(u, w)
+    y0, y1, fy = _axis_np(v, h)
+    return ((lut[y0, x0] * (1 - fx) + lut[y0, x1] * fx) * (1 - fy)
+            + (lut[y1, x0] * (1 - fx) + lut[y1, x1] * fx) * fy)
+
+
+def sample3d_np(lut, u, v, w_):
+    lut = np.asarray(lut)
+    d, h, w = lut.shape
+    x0, x1, fx = _axis_np(u, w)
+    y0, y1, fy = _axis_np(v, h)
+    z0, z1, fz = _axis_np(w_, d)
+
+    def bil(z):
+        return ((lut[z, y0, x0] * (1 - fx) + lut[z, y0, x1] * fx) * (1 - fy)
+                + (lut[z, y1, x0] * (1 - fx) + lut[z, y1, x1] * fx) * fy)
+
+    return bil(z0) * (1 - fz) + bil(z1) * fz

@@ -54,26 +54,34 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
     """Build (trace_closest, trace_any) closures over the flat BVH arrays.
     Triangles must already be in BVH leaf order (flatten does the reorder)."""
     geom = flat.geometry
-    idx = geom.indices
-    p = geom.positions
-    v0 = p[idx[:, 0]]
-    e1 = p[idx[:, 1]] - v0
-    e2 = p[idx[:, 2]] - v0
+    if geom.tri_geo is not None:
+        tg = geom.tri_geo
+    else:
+        idx = geom.indices
+        p = geom.positions
+        v0_ = p[idx[:, 0]]
+        tg = jnp.concatenate(
+            [v0_, p[idx[:, 1]] - v0_, p[idx[:, 2]] - v0_,
+             jnp.zeros((v0_.shape[0], 3), v0_.dtype)], axis=-1,
+        )
     # Pad by one so leaf gathers past the end stay in-bounds (masked anyway)
-    pad = jnp.zeros((1, 3), v0.dtype)
-    v0p = jnp.concatenate([v0, pad])
-    e1p = jnp.concatenate([e1, pad])
-    e2p = jnp.concatenate([e2, pad])
+    tgp = jnp.concatenate([tg, jnp.zeros((1, tg.shape[1]), tg.dtype)])
 
-    lo, hi = flat.bvh_bounds_lo, flat.bvh_bounds_hi
-    skip = flat.bvh_skip
-    tri_start = flat.bvh_tri_start
-    tri_count = flat.bvh_tri_count
-    n_nodes = lo.shape[0]
-    n_tris = v0.shape[0]
-    leaf_k = int(max_leaf if max_leaf is not None else np.max(
-        np.asarray(jax.device_get(tri_count))
-    )) or 1
+    nodes = getattr(flat, "bvh_nodes", None)
+    if nodes is None:
+        # Pack on the fly (tests / hand-built scenes)
+        def as_f(x):
+            return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
+
+        nodes = jnp.concatenate(
+            [flat.bvh_bounds_lo, flat.bvh_bounds_hi,
+             as_f(flat.bvh_skip)[:, None], as_f(flat.bvh_tri_start)[:, None],
+             as_f(flat.bvh_tri_count)[:, None],
+             jnp.zeros((flat.bvh_skip.shape[0], 3), jnp.float32)], axis=-1,
+        )
+    n_nodes = nodes.shape[0]
+    n_tris = tg.shape[0]
+    leaf_k = int(max_leaf) if max_leaf is not None else 4
 
     def _walk(o, d, tmin, tmax, any_hit: bool):
         r = o.shape[0]
@@ -101,13 +109,14 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
             done_early = any_hit & (s["best_tri"] >= 0)
             live = in_tree & ~done_early
 
-            node_lo = lo[ptr]
-            node_hi = hi[ptr]
+            row = nodes[ptr]  # one wide gather per step
+            node_lo = row[..., 0:3]
+            node_hi = row[..., 3:6]
+            skip_to = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+            base = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
+            count = jax.lax.bitcast_convert_type(row[..., 8], jnp.int32)
             hit_box = _slab_test(o, inv_d, node_lo, node_hi, tmin, s["best_t"]) & live
-
-            count = tri_count[ptr]
             is_leaf = count > 0
-            base = tri_start[ptr]
 
             best_t = s["best_t"]
             best_tri = s["best_tri"]
@@ -115,8 +124,10 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
             do_leaf = hit_box & is_leaf
             for k in range(leaf_k):
                 tri = jnp.where(do_leaf & (k < count), base + k, n_tris)
+                trow = tgp[tri]  # one wide gather per leaf slot
                 t, u_, v_, ok = _mt_single(
-                    o, d, v0p[tri], e1p[tri], e2p[tri], tmin, best_t
+                    o, d, trow[..., 0:3], trow[..., 3:6], trow[..., 6:9],
+                    tmin, best_t,
                 )
                 ok = ok & do_leaf & (k < count)
                 best_tri = jnp.where(ok, tri, best_tri)
@@ -125,7 +136,7 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
                 best_t = jnp.where(ok, t, best_t)
 
             descend = hit_box & ~is_leaf
-            new_ptr = jnp.where(descend, ptr + 1, skip[ptr])
+            new_ptr = jnp.where(descend, ptr + 1, skip_to)
             new_ptr = jnp.where(live, new_ptr, s["ptr"])
             return dict(ptr=new_ptr, best_t=best_t, best_tri=best_tri, u=bu, v=bv)
 

@@ -273,18 +273,54 @@ def flatten_scene(
         flags[row] = fl
 
     # ------------------------------------------------------------------
+    # Per-material energy rows (cheap 1D lookups replacing 2D/3D LUT
+    # gathers when roughness/metallic are untextured)
+    # ------------------------------------------------------------------
+    from platinum_tpu.ops import luts as _lm
+
+    _l = _lm.get_luts()
+    K = 64
+    cos_grid = (np.arange(K, dtype=np.float64) + 0.5) / K
+    energy = np.zeros((n_mat, K, 4), F)
+    energy_avg = np.zeros((n_mat, 4), F)
+    for row in range(n_mat):
+        rg, io = float(rough[row]), float(ior[row])
+        iorp = (io - 1.0) / max(io, 1e-6)
+        iorp_out = 1.0 - 1.0 / max(io, 1e-6)
+        energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
+        energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
+        energy[row, :, 2] = _lm.sample3d_np(_l.E_trans_in, cos_grid, rg, iorp)
+        energy[row, :, 3] = _lm.sample3d_np(
+            _l.E_trans_out, cos_grid, rg, 1.0 - (1.0 / max(io, 1e-6))
+        )
+        energy_avg[row, 0] = _lm.sample1d_np(_l.E_avg, rg)
+        energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
+
+    # ------------------------------------------------------------------
     # Lights: emissive triangles, power CDF (power = Y·area·π like the
     # reference's rebuildLightData, renderer_pt.cpp:856-915)
     # ------------------------------------------------------------------
     emissive_rows = np.nonzero(flags & MAT_EMISSIVE)[0]
     light_tris = np.nonzero(np.isin(tri_mats, emissive_rows))[0].astype(np.int32)
     if len(light_tris):
-        tri = indices[light_tris]
-        v0, v1, v2 = positions[tri[:, 0]], positions[tri[:, 1]], positions[tri[:, 2]]
+        tri_l = indices[light_tris]
+        v0, v1, v2 = (positions[tri_l[:, 0]], positions[tri_l[:, 1]],
+                      positions[tri_l[:, 2]])
         area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
         le = emission[tri_mats[light_tris]]
         power = le[:, 1] * area * np.pi
         cum = np.cumsum(power, dtype=np.float64).astype(F)
+        _, lp, lalias = build_alias_table(power)
+        lv0 = positions[tri_l[:, 0]]
+        lpacked = np.zeros((len(light_tris), 16), F)
+        lpacked[:, 0:3] = lv0
+        lpacked[:, 3:6] = positions[tri_l[:, 1]] - lv0
+        lpacked[:, 6:9] = positions[tri_l[:, 2]] - lv0
+        lpacked[:, 9:12] = le
+        lpacked[:, 12] = area
+        lpacked[:, 13] = power / max(float(cum[-1]), 1e-20)
+        lpacked[:, 14] = lp
+        lpacked[:, 15] = lalias.astype(np.int32).view(np.float32)
         lights = LightTable(
             tri=jnp.asarray(light_tris),
             emission=jnp.asarray(le),
@@ -293,6 +329,9 @@ def flatten_scene(
             cum_power=jnp.asarray(cum),
             total_power=jnp.float32(cum[-1]),
             count=jnp.int32(len(light_tris)),
+            alias_p=jnp.asarray(lp),
+            alias_idx=jnp.asarray(lalias.astype(np.int32)),
+            packed=jnp.asarray(lpacked),
         )
     else:
         z = np.zeros(1, F)
@@ -304,6 +343,9 @@ def flatten_scene(
             cum_power=jnp.asarray(z),
             total_power=jnp.float32(0),
             count=jnp.int32(0),
+            alias_p=jnp.ones(1, jnp.float32),
+            alias_idx=jnp.zeros(1, jnp.int32),
+            packed=jnp.zeros((1, 16), jnp.float32),
         )
 
     # ------------------------------------------------------------------
@@ -329,7 +371,53 @@ def flatten_scene(
 
     atlas, atlas_table = _pack_atlas(tex_assets)
 
-    return FlatScene(
+    # ------------------------------------------------------------------
+    # Packed wide rows (one gather each at trace time)
+    # ------------------------------------------------------------------
+    tri = indices
+    v0w = positions[tri[:, 0]]
+    e1w = positions[tri[:, 1]] - v0w
+    e2w = positions[tri[:, 2]] - v0w
+    t_cnt = len(tri)
+    tri_geo = np.zeros((t_cnt, 12), F)
+    tri_geo[:, 0:3] = v0w
+    tri_geo[:, 3:6] = e1w
+    tri_geo[:, 6:9] = e2w
+    tri_geo[:, 9] = tri_mats.astype(np.int32).view(np.float32)
+    tri_shade = np.zeros((t_cnt, 24), F)
+    tri_shade[:, 0:3] = normals[tri[:, 0]]
+    tri_shade[:, 3:6] = normals[tri[:, 1]]
+    tri_shade[:, 6:9] = normals[tri[:, 2]]
+    tri_shade[:, 9:13] = tangents[tri[:, 0]]
+    tri_shade[:, 13:15] = uvs[tri[:, 0]]
+    tri_shade[:, 15:17] = uvs[tri[:, 1]]
+    tri_shade[:, 17:19] = uvs[tri[:, 2]]
+
+    mat_packed = np.zeros((n_mat, 16), F)
+    mat_packed[:, 0:4] = base_color
+    mat_packed[:, 4:7] = emission
+    mat_packed[:, 7] = rough
+    mat_packed[:, 8] = metal
+    mat_packed[:, 9] = transm
+    mat_packed[:, 10] = ior
+    mat_packed[:, 11] = aniso
+    mat_packed[:, 12] = aniso_rot
+    mat_packed[:, 13] = coat
+    mat_packed[:, 14] = coat_rough
+    mat_packed[:, 15] = flags.view(np.float32)
+
+    bvh_nodes = None
+    if bvh_arrays:
+        nb = np.asarray(bvh_arrays["bvh_bounds_lo"].shape[0])
+        bn = np.zeros((int(nb), 12), F)
+        bn[:, 0:3] = np.asarray(bvh_arrays["bvh_bounds_lo"])
+        bn[:, 3:6] = np.asarray(bvh_arrays["bvh_bounds_hi"])
+        bn[:, 6] = np.asarray(bvh_arrays["bvh_skip"]).astype(np.int32).view(np.float32)
+        bn[:, 7] = np.asarray(bvh_arrays["bvh_tri_start"]).astype(np.int32).view(np.float32)
+        bn[:, 8] = np.asarray(bvh_arrays["bvh_tri_count"]).astype(np.int32).view(np.float32)
+        bvh_arrays["bvh_nodes"] = jnp.asarray(bn)
+
+    flat = FlatScene(
         geometry=Geometry(
             positions=jnp.asarray(positions),
             normals=jnp.asarray(normals),
@@ -337,6 +425,8 @@ def flatten_scene(
             uvs=jnp.asarray(uvs),
             indices=jnp.asarray(indices),
             tri_material=jnp.asarray(tri_mats),
+            tri_geo=jnp.asarray(tri_geo),
+            tri_shade=jnp.asarray(tri_shade),
         ),
         materials=MaterialTable(
             base_color=jnp.asarray(base_color),
@@ -351,6 +441,9 @@ def flatten_scene(
             clearcoat_roughness=jnp.asarray(coat_rough),
             flags=jnp.asarray(flags),
             textures=jnp.asarray(tex_table),
+            energy=jnp.asarray(energy),
+            energy_avg=jnp.asarray(energy_avg),
+            packed=jnp.asarray(mat_packed),
         ),
         lights=lights,
         env=env_light,
@@ -361,9 +454,25 @@ def flatten_scene(
         luts=_get_luts(),
         **bvh_arrays,
     )
+    return flat
 
 
 def _get_luts():
     from platinum_tpu.ops.luts import get_luts
 
     return get_luts()
+
+
+def analyze_features(flat: FlatScene) -> frozenset:
+    """Static BSDF lobe/feature set for this scene (host-side analysis of
+    the material table), used to prune unused lobes at trace time."""
+    from platinum_tpu.models.bsdf import scene_features
+
+    class _HostMats:
+        pass
+
+    host = _HostMats()
+    for name in ("metallic", "transmission", "clearcoat", "clearcoat_roughness",
+                 "anisotropy", "roughness", "flags", "textures"):
+        setattr(host, name, np.asarray(getattr(flat.materials, name)))
+    return scene_features(host)

@@ -47,7 +47,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
 
 def render_sample(flat: FlatScene, settings: RenderSettings,
                   sample_idx: jnp.ndarray, pixel_ids=None, tracers=None,
-                  return_stats: bool = False):
+                  return_stats: bool = False,
+                  features: frozenset = bsdf_mod.ALL_FEATURES):
     """Trace one sample per pixel; returns (R, 3) radiance (R = len(pixel_ids),
     default all pixels). With return_stats, also returns the number of rays
     traced (closest + shadow), for honest Mrays/sec accounting."""
@@ -138,7 +139,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         r4 = jnp.concatenate([r2, r3[:, None], r4[:, None]], axis=-1)
         samp = bsdf_mod.sample(
             ctx, hd.wo, r4, rc, luts=flat.luts,
-            multiscatter=bool(settings.flags & 1),
+            multiscatter=bool(settings.flags & 1), features=features,
         )
 
         # --- Next-event estimation -------------------------------------------
@@ -170,7 +171,8 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
                  jnp.sum(wi_world * hd.normal, -1)], axis=-1,
             )
             ev = bsdf_mod.evaluate(ctx, hd.wo, wi_local, luts=flat.luts,
-                                   multiscatter=bool(settings.flags & 1))
+                                   multiscatter=bool(settings.flags & 1),
+                                   features=features)
             f_nonzero = jnp.sum(ev.f * ev.f, axis=-1) > 0.0
             do_nee = (
                 hit & bsdf_mod.wants_nee(ctx) & f_nonzero
@@ -230,10 +232,12 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
     return final["L"]
 
 
-@partial(jax.jit, static_argnames=("settings",), donate_argnames=("accum",))
+@partial(jax.jit, static_argnames=("settings", "features"),
+         donate_argnames=("accum",))
 def render_step(flat: FlatScene, settings: RenderSettings, accum: jnp.ndarray,
                 accum_count: jnp.ndarray,
-                sample_seed: jnp.ndarray | None = None) -> jnp.ndarray:
+                sample_seed: jnp.ndarray | None = None,
+                features: frozenset = bsdf_mod.ALL_FEATURES) -> jnp.ndarray:
     """One progressive spp step: running mean into the (H*W, 3) accumulator
     (parity with the accumulate tail of the kernels, kernel.metal:675-684).
     `accum_count` is how many samples the accumulator already holds;
@@ -241,15 +245,17 @@ def render_step(flat: FlatScene, settings: RenderSettings, accum: jnp.ndarray,
     accum_count; differs under GMoN bucketing)."""
     if sample_seed is None:
         sample_seed = accum_count
-    radiance = render_sample(flat, settings, sample_seed)
+    radiance = render_sample(flat, settings, sample_seed, features=features)
     k = accum_count.astype(jnp.float32)
     return (accum * k + radiance) / (k + 1.0)
 
 
-def render(flat: FlatScene, settings: RenderSettings) -> jnp.ndarray:
+def render(flat: FlatScene, settings: RenderSettings,
+           features: frozenset = bsdf_mod.ALL_FEATURES) -> jnp.ndarray:
     """Render settings.spp samples; returns (H, W, 3) linear radiance in the
     working colorspace."""
     accum = jnp.zeros((settings.num_pixels, 3))
     for i in range(settings.spp):
-        accum = render_step(flat, settings, accum, jnp.int32(i))
+        accum = render_step(flat, settings, accum, jnp.int32(i),
+                            features=features)
     return accum.reshape(settings.height, settings.width, 3)

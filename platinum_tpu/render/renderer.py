@@ -55,6 +55,9 @@ class Renderer:
         """Latch settings, flatten the scene and reset accumulation."""
         self.settings = settings or self.settings or RenderSettings()
         self.flat = flatten_scene(self.scene, camera_node_id, self.settings)
+        from platinum_tpu.render.flatten import analyze_features
+
+        self._features = analyze_features(self.flat)
         n_buckets = max(1, self.settings.gmon_buckets
                         if self.settings.flags & FLAG_GMON else 1)
         self._buckets = jnp.zeros((n_buckets, self.settings.num_pixels, 3))
@@ -76,6 +79,7 @@ class Renderer:
         acc = integrator.render_step(
             self.flat, s, self._buckets[bucket], jnp.int32(local_idx),
             sample_seed=jnp.int32(self._accumulated),
+            features=self._features,
         )
         self._buckets = self._buckets.at[bucket].set(acc)
         self._accumulated += 1

@@ -43,6 +43,11 @@ class Geometry:
     uvs: jnp.ndarray         # (V, 2) f32
     indices: jnp.ndarray     # (T, 3) i32
     tri_material: jnp.ndarray  # (T,) i32 → index into material table
+    # Packed per-triangle rows (gathers on this backend cost ~1ms/262k lanes
+    # regardless of width, so one wide-row gather replaces a dozen narrow
+    # ones):
+    tri_geo: jnp.ndarray | None = None    # (T, 12): v0, e1, e2, pad
+    tri_shade: jnp.ndarray | None = None  # (T, 24): n0,n1,n2, tan4, uv0,uv1,uv2, pad
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +68,16 @@ class MaterialTable:
     flags: jnp.ndarray           # (M,) i32
     # texture slot table: (M, 6) i32 atlas-entry index, -1 = none
     textures: jnp.ndarray
+    # Per-material energy rows over cos-theta (K texels): [E, E_ms,
+    # E_trans_in, E_trans_out], and scalars [E_avg, E_ms_avg, 0, 0].
+    # Baked from the GGX LUTs at the material's (roughness, ior); valid only
+    # when roughness/metallic are untextured (feature 'tex_rough' disables).
+    energy: jnp.ndarray | None = None      # (M, K, 4)
+    energy_avg: jnp.ndarray | None = None  # (M, 4)
+    # One-gather packed scalar row: [base_color(4), emission(3), roughness,
+    # metallic, transmission, ior, anisotropy, aniso_rotation, clearcoat,
+    # clearcoat_roughness, flags_as_float]
+    packed: jnp.ndarray | None = None      # (M, 16)
 
 
 @jax.tree_util.register_dataclass
@@ -78,6 +93,13 @@ class LightTable:
     cum_power: jnp.ndarray   # (L,) inclusive prefix sum
     total_power: jnp.ndarray  # () f32
     count: jnp.ndarray       # () i32 — number of valid entries (arrays padded)
+    # Alias table over light power (O(1) pick; replaces the reference's
+    # binary search, kernel.metal:379-394)
+    alias_p: jnp.ndarray | None = None      # (L,)
+    alias_idx: jnp.ndarray | None = None    # (L,) i32
+    # One-gather packed row: [v0(3), e1(3), e2(3), emission(3), area,
+    # power/total, normal? no — derived] (world-space light triangles)
+    packed: jnp.ndarray | None = None       # (L, 16)
 
 
 @jax.tree_util.register_dataclass
@@ -124,6 +146,9 @@ class FlatScene:
     bvh_skip: jnp.ndarray | None = None       # (N,) i32 miss/skip link
     bvh_tri_start: jnp.ndarray | None = None  # (N,) i32 (-1 for inner nodes)
     bvh_tri_count: jnp.ndarray | None = None  # (N,) i32
+    # One-gather packed node row: [lo(3), hi(3), skip(bitcast i32),
+    # tri_start(bitcast), tri_count(bitcast)] — traversal reads one row/step
+    bvh_nodes: jnp.ndarray | None = None      # (N, 12) f32 (ints bitcast)
     # Texture atlas (None = no textures in scene)
     atlas: jnp.ndarray | None = None          # (AH, AW, 4) f32
     atlas_table: jnp.ndarray | None = None    # (K, 4) i32: x, y, w, h
