@@ -79,3 +79,77 @@ def make_furnace_scene(albedo: float = 1.0, roughness: float = 1.0,
         translation=[0.0, 0.0, 5.0], target=[0.0, 0.0, 0.0], track=True
     )
     return scene, cam_node.id
+
+
+def make_colonnade_scene(columns: int = 12, rows: int = 6,
+                         sphere_res: tuple = (36, 52)) -> tuple:
+    """Sponza-class architectural stress scene (~300k triangles): a colonnade
+    hall with a floor, side walls, a grid of sphere-capped columns, scattered
+    boxes and several emissive ceiling panels. Stands in for the Sponza
+    benchmark config (BASELINE.md #4) since no external assets ship with this
+    sandbox; geometry/light counts are matched (deep BVH, many lights).
+    """
+    import numpy as np
+
+    scene = Scene()
+    rng = np.random.default_rng(42)
+
+    hall_w = columns * 4.0
+    hall_d = rows * 4.0
+
+    floor_id = scene.add_asset(primitives.plane(1.0), retained=True)
+    cube_id = scene.add_asset(primitives.cube(1.0), retained=True)
+    sphere_id = scene.add_asset(
+        primitives.sphere(1.0, lat=sphere_res[0], lng=sphere_res[1]),
+        retained=True,
+    )
+
+    mat_floor = scene.add_asset(Material(name="floor", base_color=(0.6, 0.55, 0.5, 1), roughness=0.4))
+    mat_wall = scene.add_asset(Material(name="wall", base_color=(0.75, 0.7, 0.65, 1)))
+    mat_col = scene.add_asset(Material(name="column", base_color=(0.8, 0.78, 0.72, 1), roughness=0.6))
+    mat_metal = scene.add_asset(Material(name="brass", base_color=(0.9, 0.7, 0.3, 1), metallic=1.0, roughness=0.3))
+    mat_light = scene.add_asset(Material(
+        name="panel", base_color=(0, 0, 0, 1), emission=(1, 0.95, 0.85),
+        emission_strength=40.0,
+    ))
+
+    def instance(name, mesh_id, mat_id, t, s, r=(0, 0, 0)):
+        node = scene.create_node(name)
+        scene.set_mesh(node.id, mesh_id)
+        scene.set_material(node.id, 0, mat_id)
+        node.transform = Transform(translation=t, rotation=r, scale=s)
+        return node
+
+    instance("floor", floor_id, mat_floor, (0, 0, 0), (hall_w, 1, hall_d))
+    instance("wall_l", cube_id, mat_wall, (-hall_w / 2, 4, 0), (0.5, 8, hall_d))
+    instance("wall_r", cube_id, mat_wall, (hall_w / 2, 4, 0), (0.5, 8, hall_d))
+    instance("ceiling", cube_id, mat_wall, (0, 8.5, 0), (hall_w, 0.5, hall_d))
+
+    for i in range(columns):
+        for j in range(rows):
+            x = (i - columns / 2 + 0.5) * 4.0
+            z = (j - rows / 2 + 0.5) * 4.0
+            instance(f"col_{i}_{j}", cube_id, mat_col, (x, 2.0, z), (0.6, 4.0, 0.6))
+            mat = mat_metal if (i + j) % 3 == 0 else mat_col
+            instance(f"cap_{i}_{j}", sphere_id, mat, (x, 4.6, z), (0.8, 0.8, 0.8))
+            if rng.uniform() < 0.4:
+                instance(
+                    f"box_{i}_{j}", cube_id, mat_col,
+                    (x + rng.uniform(-1, 1), 0.4, z + rng.uniform(-1, 1)),
+                    (0.8, 0.8, 0.8), (0, rng.uniform(0, 3.14), 0),
+                )
+
+    # Emissive ceiling panels (many lights)
+    for i in range(0, columns, 2):
+        for j in range(0, rows, 2):
+            x = (i - columns / 2 + 1.0) * 4.0
+            z = (j - rows / 2 + 1.0) * 4.0
+            instance(f"panel_{i}_{j}", cube_id, mat_light, (x, 8.0, z), (1.5, 0.1, 1.5))
+
+    cam_node = scene.create_node("camera")
+    cam_node.camera = Camera.with_focal_length(35.0)
+    cam_pos = np.array([0.0, 3.0, hall_d / 2 - 2.0])
+    target = np.array([0.0, 3.0, -hall_d / 2])
+    cam_node.camera.focus_distance = float(np.linalg.norm(cam_pos - target))
+    cam_node.transform = Transform(translation=cam_pos, target=target, track=True)
+    return scene, cam_node.id

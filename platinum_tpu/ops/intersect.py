@@ -90,8 +90,10 @@ def make_brute_tracer(geometry: Geometry, chunk: int = 256):
     v0c, e1c, e2c, _ = _chunk_triangles(geometry, chunk)
     nc = v0c.shape[0]
 
-    def trace_closest(o, d, tmin, tmax) -> HitRecord:
+    def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
         r = o.shape[0]
+        if active is not None:
+            tmax = jnp.where(active, jnp.asarray(tmax, jnp.float32), tmin)
         tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
         tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         o_b = o[:, None, :]
@@ -126,8 +128,10 @@ def make_brute_tracer(geometry: Geometry, chunk: int = 256):
         hit = jnp.isfinite(t)
         return HitRecord(t=t, tri=tri, bary=jnp.stack([u, v], -1), hit=hit)
 
-    def trace_any(o, d, tmin, tmax) -> jnp.ndarray:
+    def trace_any(o, d, tmin, tmax, active=None) -> jnp.ndarray:
         r = o.shape[0]
+        if active is not None:
+            tmax = jnp.where(active, jnp.asarray(tmax, jnp.float32), tmin)
         tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
         tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         o_b = o[:, None, :]

@@ -166,3 +166,23 @@ def sample3d_np(lut, u, v, w_):
                 + (lut[z, y1, x0] * (1 - fx) + lut[z, y1, x1] * fx) * fy)
 
     return bil(z0) * (1 - fz) + bil(z1) * fz
+
+
+_HOST_CACHE: dict = {}
+
+
+def get_host_luts():
+    """Host-side (numpy) LUT bundle for flatten-time baking — avoids
+    device→host readbacks of the jnp Luts (expensive on tunneled TPUs)."""
+    if "host" not in _HOST_CACHE:
+        if os.path.exists(LUT_BUNDLE):
+            data = np.load(LUT_BUNDLE)
+            arrays = {k: np.asarray(data[k], np.float32) for k in LUT_NAMES}
+        else:
+            ph = placeholder_luts()
+            import jax
+
+            arrays = {k: np.asarray(jax.device_get(getattr(ph, k)))
+                      for k in LUT_NAMES}
+        _HOST_CACHE["host"] = Luts(**arrays)
+    return _HOST_CACHE["host"]

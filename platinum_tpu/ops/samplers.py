@@ -169,7 +169,8 @@ class PCG4DStream:
         return s
 
 
-def make_stream(kind: str, pixel_x, pixel_y, sample_index):
+def make_stream(kind: str, pixel_x, pixel_y, sample_index,
+                width: int = 4096, height: int = 4096, spp: int = 4096):
     kind = kind.lower()
     if kind == "halton":
         return HaltonStream.create(pixel_x, pixel_y, sample_index)
@@ -177,7 +178,7 @@ def make_stream(kind: str, pixel_x, pixel_y, sample_index):
         return PCG4DStream.create(pixel_x, pixel_y, sample_index)
     if kind in ("z", "zsampler", "sobol"):
         from platinum_tpu.ops.zsampler import ZStream
-        return ZStream.create(pixel_x, pixel_y, sample_index)
+        return ZStream.create(pixel_x, pixel_y, sample_index, width, height, spp)
     raise ValueError(f"unknown sampler kind: {kind}")
 
 

@@ -83,62 +83,101 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
     n_tris = tg.shape[0]
     leaf_k = int(max_leaf) if max_leaf is not None else 4
 
-    def _walk(o, d, tmin, tmax, any_hit: bool):
+    def _walk(o, d, tmin, tmax, any_hit: bool, active=None, max_steps=65536):
         r = o.shape[0]
         tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
         tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
         inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
 
+        # Masked-out rays never enter the tree: the lockstep walk runs until
+        # the WORST ray finishes, so letting dead lanes traverse would both
+        # waste bandwidth and stretch the loop.
+        start_ptr = (jnp.zeros((r,), jnp.int32) if active is None
+                     else jnp.where(active, 0, n_nodes).astype(jnp.int32))
         state = dict(
-            ptr=jnp.zeros((r,), jnp.int32),
+            ptr=start_ptr,
             best_t=tmax,
             best_tri=jnp.full((r,), -1, jnp.int32),
             u=jnp.zeros((r,)),
             v=jnp.zeros((r,)),
+            steps=jnp.int32(0),
         )
 
         def cond(s):
-            active = s["ptr"] < n_nodes
+            live = s["ptr"] < n_nodes
             if any_hit:
-                active = active & (s["best_tri"] < 0)
-            return jnp.any(active)
+                live = live & (s["best_tri"] < 0)
+            # Step cap: guards the device watchdog against pathological rays
+            # (e.g. NaN directions passing every slab test)
+            return jnp.any(live) & (s["steps"] < max_steps)
 
         def body(s):
-            ptr = jnp.minimum(s["ptr"], n_nodes - 1)
-            in_tree = s["ptr"] < n_nodes
-            done_early = any_hit & (s["best_tri"] >= 0)
-            live = in_tree & ~done_early
+            # Phase 1: walk inner nodes until every live ray is parked at a
+            # hit leaf (or done). Inner steps cost ONE node-row gather; leaf
+            # gathers only happen in phase 2, once per round, instead of
+            # 4x per step (gathers dominate this backend's traversal cost).
+            def walk_cond(w):
+                ptr, best_t, parked, inner = w
+                live = (ptr < n_nodes) & ~parked
+                if any_hit:
+                    live = live & (s["best_tri"] < 0)
+                return jnp.any(live) & (inner < jnp.int32(64))
 
-            row = nodes[ptr]  # one wide gather per step
-            node_lo = row[..., 0:3]
-            node_hi = row[..., 3:6]
+            def walk_body(w):
+                ptr_raw, best_t, parked, inner = w
+                ptr = jnp.minimum(ptr_raw, n_nodes - 1)
+                live = (ptr_raw < n_nodes) & ~parked
+                if any_hit:
+                    live = live & (s["best_tri"] < 0)
+                row = nodes[ptr]
+                node_lo = row[..., 0:3]
+                node_hi = row[..., 3:6]
+                skip_to = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
+                count = jax.lax.bitcast_convert_type(row[..., 8], jnp.int32)
+                hit_box = _slab_test(o, inv_d, node_lo, node_hi, tmin, best_t) & live
+                is_leaf = count > 0
+                park = hit_box & is_leaf
+                new_ptr = jnp.where(
+                    live & ~park,
+                    jnp.where(hit_box & ~is_leaf, ptr + 1, skip_to),
+                    ptr_raw,
+                )
+                return new_ptr, best_t, parked | park, inner + 1
+
+            done_early = any_hit & (s["best_tri"] >= 0)
+            ptr, best_t0, parked, _ = jax.lax.while_loop(
+                walk_cond, walk_body,
+                (s["ptr"], s["best_t"],
+                 jnp.zeros_like(s["ptr"], bool) | done_early, jnp.int32(0)),
+            )
+
+            # Phase 2: intersect the parked leaves
+            safe_ptr = jnp.minimum(ptr, n_nodes - 1)
+            row = nodes[safe_ptr]
             skip_to = jax.lax.bitcast_convert_type(row[..., 6], jnp.int32)
             base = jax.lax.bitcast_convert_type(row[..., 7], jnp.int32)
             count = jax.lax.bitcast_convert_type(row[..., 8], jnp.int32)
-            hit_box = _slab_test(o, inv_d, node_lo, node_hi, tmin, s["best_t"]) & live
-            is_leaf = count > 0
+            at_leaf = parked & (ptr < n_nodes) & ~done_early
 
             best_t = s["best_t"]
             best_tri = s["best_tri"]
             bu, bv = s["u"], s["v"]
-            do_leaf = hit_box & is_leaf
             for k in range(leaf_k):
-                tri = jnp.where(do_leaf & (k < count), base + k, n_tris)
+                tri = jnp.where(at_leaf & (k < count), base + k, n_tris)
                 trow = tgp[tri]  # one wide gather per leaf slot
                 t, u_, v_, ok = _mt_single(
                     o, d, trow[..., 0:3], trow[..., 3:6], trow[..., 6:9],
                     tmin, best_t,
                 )
-                ok = ok & do_leaf & (k < count)
+                ok = ok & at_leaf & (k < count)
                 best_tri = jnp.where(ok, tri, best_tri)
                 bu = jnp.where(ok, u_, bu)
                 bv = jnp.where(ok, v_, bv)
                 best_t = jnp.where(ok, t, best_t)
 
-            descend = hit_box & ~is_leaf
-            new_ptr = jnp.where(descend, ptr + 1, skip_to)
-            new_ptr = jnp.where(live, new_ptr, s["ptr"])
-            return dict(ptr=new_ptr, best_t=best_t, best_tri=best_tri, u=bu, v=bv)
+            new_ptr = jnp.where(at_leaf, skip_to, ptr)
+            return dict(ptr=new_ptr, best_t=best_t, best_tri=best_tri, u=bu,
+                        v=bv, steps=s["steps"] + 1)
 
         out = jax.lax.while_loop(cond, body, state)
         hit = out["best_tri"] >= 0
@@ -149,10 +188,10 @@ def make_bvh_tracer(flat: FlatScene, max_leaf: int | None = None):
             hit=hit,
         )
 
-    def trace_closest(o, d, tmin, tmax) -> HitRecord:
-        return _walk(o, d, tmin, tmax, any_hit=False)
+    def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
+        return _walk(o, d, tmin, tmax, any_hit=False, active=active)
 
-    def trace_any(o, d, tmin, tmax) -> jnp.ndarray:
-        return _walk(o, d, tmin, tmax, any_hit=True).hit
+    def trace_any(o, d, tmin, tmax, active=None) -> jnp.ndarray:
+        return _walk(o, d, tmin, tmax, any_hit=True, active=active).hit
 
     return trace_closest, trace_any

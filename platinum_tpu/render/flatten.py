@@ -203,10 +203,11 @@ def flatten_scene(
     # leaf-contiguous order (the TPU traversal gathers leaf ranges)
     # ------------------------------------------------------------------
     bvh_arrays = {}
+    bvh_host = None
     if build_accel and len(indices) >= accel_min_tris:
         from platinum_tpu.accel import get_builder
 
-        bvh = get_builder()(
+        bvh = bvh_host = get_builder()(
             positions[indices[:, 0]],
             positions[indices[:, 1]],
             positions[indices[:, 2]],
@@ -278,7 +279,7 @@ def flatten_scene(
     # ------------------------------------------------------------------
     from platinum_tpu.ops import luts as _lm
 
-    _l = _lm.get_luts()
+    _l = _lm.get_host_luts()  # numpy view — never read device arrays back
     K = 64
     cos_grid = (np.arange(K, dtype=np.float64) + 0.5) / K
     energy = np.zeros((n_mat, K, 4), F)
@@ -406,15 +407,13 @@ def flatten_scene(
     mat_packed[:, 14] = coat_rough
     mat_packed[:, 15] = flags.view(np.float32)
 
-    bvh_nodes = None
-    if bvh_arrays:
-        nb = np.asarray(bvh_arrays["bvh_bounds_lo"].shape[0])
-        bn = np.zeros((int(nb), 12), F)
-        bn[:, 0:3] = np.asarray(bvh_arrays["bvh_bounds_lo"])
-        bn[:, 3:6] = np.asarray(bvh_arrays["bvh_bounds_hi"])
-        bn[:, 6] = np.asarray(bvh_arrays["bvh_skip"]).astype(np.int32).view(np.float32)
-        bn[:, 7] = np.asarray(bvh_arrays["bvh_tri_start"]).astype(np.int32).view(np.float32)
-        bn[:, 8] = np.asarray(bvh_arrays["bvh_tri_count"]).astype(np.int32).view(np.float32)
+    if bvh_host is not None:
+        bn = np.zeros((bvh_host.num_nodes, 12), F)
+        bn[:, 0:3] = bvh_host.bounds_lo
+        bn[:, 3:6] = bvh_host.bounds_hi
+        bn[:, 6] = bvh_host.skip.astype(np.int32).view(np.float32)
+        bn[:, 7] = bvh_host.tri_start.astype(np.int32).view(np.float32)
+        bn[:, 8] = bvh_host.tri_count.astype(np.int32).view(np.float32)
         bvh_arrays["bvh_nodes"] = jnp.asarray(bn)
 
     flat = FlatScene(

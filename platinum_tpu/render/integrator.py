@@ -61,7 +61,8 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
     px = pix % settings.width
     py = pix // settings.width
 
-    stream = smp.make_stream(settings.sampler, px, py, sample_idx)
+    stream = smp.make_stream(settings.sampler, px, py, sample_idx,
+                             settings.width, settings.height, settings.spp)
     stream, pixel_jitter = stream.next_2d()
     stream, lens_u = stream.next_2d()
     o, d = spawn_camera_rays(flat.camera, px, py, pixel_jitter, lens_u)
@@ -92,7 +93,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         stream = s["stream"]
         bounce = s["bounce"]
 
-        rec = trace_closest(o, d, RAY_EPS, jnp.inf)
+        rec = trace_closest(o, d, RAY_EPS, jnp.inf, active=active)
         hit = rec.hit & active
         miss = active & ~rec.hit
 
@@ -113,6 +114,53 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         ctx = bsdf_mod.make_shading_context(
             mats, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table
         )
+
+        # --- Normal mapping (kernel.metal:168-177) ---------------------------
+        if flat.atlas is not None:
+            from platinum_tpu.ops import frame as frame_ops
+            from platinum_tpu.ops.texturing import sample_normal_map
+
+            has_nm, nm = sample_normal_map(
+                flat.atlas, flat.atlas_table, mats.textures[hd.mat_idx], hd.uv
+            )
+            mapped = (hd.frame_t * nm[..., 0:1] + hd.frame_b * nm[..., 1:2]
+                      + hd.normal * nm[..., 2:3])
+            mapped = mapped / jnp.maximum(
+                jnp.linalg.norm(mapped, axis=-1, keepdims=True), 1e-20
+            )
+            nt, nb, nn = frame_ops.from_normal(mapped)
+            sel = has_nm[:, None]
+            hd = type(hd)(
+                pos=hd.pos,
+                normal=jnp.where(sel, nn, hd.normal),
+                gnormal=hd.gnormal,
+                uv=hd.uv,
+                wo=jnp.where(sel, frame_ops.world_to_local((nt, nb, nn), -d), hd.wo),
+                frame_t=jnp.where(sel, nt, hd.frame_t),
+                frame_b=jnp.where(sel, nb, hd.frame_b),
+                mat_idx=hd.mat_idx,
+            )
+
+        # --- Stochastic alpha transparency (intersections.metal:8-39) --------
+        # A hit on an alpha-mapped material passes through with probability
+        # 1-alpha: the path continues unshaded in the same direction.
+        stream, u_alpha = stream.next_1d()
+        if flat.atlas is not None:
+            from platinum_tpu.ops.texturing import sample_base_alpha
+            from platinum_tpu.render.types import MAT_USES_ALPHA
+
+            base_alpha = mats.packed[hd.mat_idx, 3] * sample_base_alpha(
+                flat.atlas, flat.atlas_table, mats.textures[hd.mat_idx], hd.uv
+            )
+            alpha_pass = (
+                hit
+                & ((jax.lax.bitcast_convert_type(
+                    mats.packed[hd.mat_idx, 15], jnp.int32) & MAT_USES_ALPHA) != 0)
+                & (u_alpha >= base_alpha)
+            )
+        else:
+            alpha_pass = jnp.zeros((n,), bool)
+        hit = hit & ~alpha_pass
 
         # --- Emission on hit (MIS against NEE) ------------------------------
         le = bsdf_mod.emitted_radiance(ctx, hd.wo)
@@ -178,7 +226,8 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
                 hit & bsdf_mod.wants_nee(ctx) & f_nonzero
                 & (has_lights | has_env)
             )
-            occluded = trace_any(hd.pos, wi_world, RAY_EPS, dist - RAY_EPS)
+            occluded = trace_any(hd.pos, wi_world, RAY_EPS, dist - RAY_EPS,
+                                 active=do_nee)
             ld = (
                 li * ev.f * jnp.abs(wi_local[..., 2:3])
                 / jnp.maximum(p_light * l_pdf + ev.pdf, 1e-20)[..., None]
@@ -210,11 +259,12 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
             jnp.linalg.norm(wi_world_next, axis=-1, keepdims=True), 1e-20
         )
 
+        active_new = active_new | alpha_pass
         return dict(
-            o=jnp.where(hit[:, None], hd.pos, o),
+            o=jnp.where(hit[:, None], hd.pos, jnp.where(alpha_pass[:, None], hd.pos, o)),
             d=jnp.where(hit[:, None], wi_world_next, d),
             L=L,
-            atten=jnp.where(active_new[:, None], atten_new, atten),
+            atten=jnp.where(active_new[:, None] & ~alpha_pass[:, None], atten_new, atten),
             active=active_new,
             prev_pdf=jnp.where(hit, samp.pdf, s["prev_pdf"]),
             prev_spec=jnp.where(

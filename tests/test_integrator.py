@@ -97,3 +97,42 @@ def test_brute_tracer_correctness():
     assert not occ.any()  # all surfaces are at distance 5
     occ2 = np.asarray(any_hit(o, d, 1e-3, jnp.full(4, 5.1)))
     assert occ2[:3].all() and not occ2[3]
+
+
+def test_alpha_transparency_pass_through():
+    """A fully transparent (alpha=0) textured quad must not block rays:
+    furnace stays exact (exercises the stochastic alpha any-hit path)."""
+    import numpy as np
+    from platinum_tpu.core.material import Material, TextureSlot
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.core.texture import Texture, TextureFormat
+    from platinum_tpu.core import primitives
+    from platinum_tpu.core.camera import Camera
+    from platinum_tpu.core.transform import Transform
+
+    scene = Scene()
+    quad_id = scene.add_asset(primitives.plane(4.0))
+    node = scene.create_node("quad")
+    scene.set_mesh(node.id, quad_id)
+    node.transform = Transform(rotation=[np.pi / 2, 0, 0])  # face the camera
+    # fully transparent base-color texture
+    tex = Texture(
+        data=np.zeros((4, 4, 4), np.uint8), format=TextureFormat.SRGB_RGBA,
+        name="clear", has_alpha=True,
+    )
+    tex_id = scene.add_asset(tex, retained=True)
+    mat = Material(name="ghost", base_color=(1, 1, 1, 1))
+    mat.textures[TextureSlot.BASE_COLOR] = tex_id
+    scene.set_material(node.id, 0, scene.add_asset(mat))
+    scene.environment.constant_color = (0.5, 0.5, 0.5)
+
+    cam = scene.create_node("cam")
+    cam.camera = Camera.with_focal_length(50.0)
+    cam.camera.focus_distance = 5.0
+    cam.transform = Transform(translation=[0, 0, 5], target=[0, 0, 0], track=True)
+
+    settings = RenderSettings(width=16, height=16, spp=8, max_bounces=6,
+                              sampler="pcg4d")
+    flat = flatten_scene(scene, cam.id, settings)
+    img = np.asarray(integrator.render(flat, settings))
+    assert np.abs(img - 0.5).max() < 1e-3, img.mean()

@@ -104,3 +104,53 @@ def test_disk_and_triangle_warps():
     # Uniform barycentrics → E[b0] = E[b1] = 1/3
     assert abs(b[:, 0].mean() - 1 / 3) < 0.01
     assert abs(b[:, 1].mean() - 1 / 3) < 0.01
+
+
+def test_zsampler_stratification_and_determinism():
+    from platinum_tpu.ops.zsampler import ZStream
+
+    w = h = 16
+    spp = 16
+    px = jnp.arange(w * h, dtype=jnp.uint32) % w
+    py = jnp.arange(w * h, dtype=jnp.uint32) // w
+
+    # Accumulate first-dim samples over all spp for pixel 0
+    us = []
+    for s in range(spp):
+        st = ZStream.create(px, py, s, w, h, spp)
+        st, u = st.next_2d()
+        us.append(np.asarray(u))
+    u0 = np.stack([u[0] for u in us])  # (spp, 2) for pixel 0
+    assert (u0 >= 0).all() and (u0 < 1).all()
+    # Sobol stratification: spp=16 points should cover all 4 quarters in x
+    counts, _ = np.histogram(u0[:, 0], bins=4, range=(0, 1))
+    assert (counts == 4).all(), counts
+
+    # Determinism
+    st2 = ZStream.create(px, py, 3, w, h, spp)
+    st2, v = st2.next_2d()
+    st3 = ZStream.create(px, py, 3, w, h, spp)
+    st3, v2 = st3.next_2d()
+    assert np.array_equal(np.asarray(v), np.asarray(v2))
+
+    # Different dims decorrelate
+    st4, va = ZStream.create(px, py, 0, w, h, spp).next_1d()
+    st4, vb = st4.next_1d()
+    assert not np.array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_zsampler_under_scan():
+    from platinum_tpu.ops.zsampler import ZStream
+
+    px = jnp.arange(8, dtype=jnp.uint32)
+    py = jnp.zeros(8, dtype=jnp.uint32)
+    st = ZStream.create(px, py, 0, 8, 8, 4)
+
+    def body(s, _):
+        s, u = s.next_1d()
+        return s, u
+
+    _, us = jax.lax.scan(body, st, None, length=3)
+    us = np.asarray(us)
+    assert us.shape == (3, 8)
+    assert not np.allclose(us[0], us[1])
