@@ -25,6 +25,7 @@ INF = jnp.float32(np.inf)
 DET_EPS = jnp.float32(1e-12)
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class HitRecord:
     t: jnp.ndarray      # (R,) distance, inf on miss

@@ -159,6 +159,7 @@ def flatten_scene(
     # Geometry: bake instances into world space
     # ------------------------------------------------------------------
     positions, normals, tangents, uvs, indices, tri_mats = [], [], [], [], [], []
+    tri_nodes = []
     v_off = 0
     for inst in instances:
         mesh = inst.mesh
@@ -186,6 +187,7 @@ def flatten_scene(
             dtype=np.int32,
         )
         tri_mats.append(slot_rows[mesh.material_slots])
+        tri_nodes.append(np.full(mesh.num_triangles, inst.node_id, np.int32))
         v_off += mesh.num_vertices
 
     if not positions:
@@ -197,6 +199,7 @@ def flatten_scene(
     uvs = np.concatenate(uvs)
     indices = np.concatenate(indices).astype(np.int32)
     tri_mats = np.concatenate(tri_mats).astype(np.int32)
+    tri_nodes = np.concatenate(tri_nodes).astype(np.int32)
 
     # ------------------------------------------------------------------
     # Acceleration structure: build the BVH and reorder triangles into
@@ -215,6 +218,7 @@ def flatten_scene(
         )
         indices = indices[bvh.tri_order]
         tri_mats = tri_mats[bvh.tri_order]
+        tri_nodes = tri_nodes[bvh.tri_order]
         bvh_arrays = dict(
             bvh_bounds_lo=jnp.asarray(bvh.bounds_lo),
             bvh_bounds_hi=jnp.asarray(bvh.bounds_hi),
@@ -385,6 +389,7 @@ def flatten_scene(
     tri_geo[:, 3:6] = e1w
     tri_geo[:, 6:9] = e2w
     tri_geo[:, 9] = tri_mats.astype(np.int32).view(np.float32)
+    tri_geo[:, 10] = tri_nodes.view(np.float32)  # node id (studio picking AOV)
     tri_shade = np.zeros((t_cnt, 24), F)
     tri_shade[:, 0:3] = normals[tri[:, 0]]
     tri_shade[:, 3:6] = normals[tri[:, 1]]

@@ -45,16 +45,9 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     return make_brute_tracer(flat.geometry)
 
 
-def render_sample(flat: FlatScene, settings: RenderSettings,
-                  sample_idx: jnp.ndarray, pixel_ids=None, tracers=None,
-                  return_stats: bool = False,
-                  features: frozenset = bsdf_mod.ALL_FEATURES):
-    """Trace one sample per pixel; returns (R, 3) radiance (R = len(pixel_ids),
-    default all pixels). With return_stats, also returns the number of rays
-    traced (closest + shadow), for honest Mrays/sec accounting."""
-    trace_closest, trace_any = tracers or make_tracers(flat, settings)
-    geom, mats, lights, env = flat.geometry, flat.materials, flat.lights, flat.env
-
+def init_path_state(flat: FlatScene, settings: RenderSettings,
+                    sample_idx: jnp.ndarray, pixel_ids=None):
+    """Camera rays + fresh path state for one sample of every pixel."""
     pix = (jnp.arange(settings.num_pixels, dtype=jnp.uint32)
            if pixel_ids is None else pixel_ids.astype(jnp.uint32))
     n = pix.shape[0]
@@ -67,12 +60,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
     stream, lens_u = stream.next_2d()
     o, d = spawn_camera_rays(flat.camera, px, py, pixel_jitter, lens_u)
 
-    use_mis = settings.kernel == "mis"
-    has_env = env.count > 0
-    has_lights = lights.count > 0
-    p_inf = lights_mod.p_infinite(lights, env)
-
-    state = dict(
+    return dict(
         o=o,
         d=d,
         L=jnp.zeros((n, 3)),
@@ -85,13 +73,24 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         rays=jnp.float32(0.0),
     )
 
-    def cond(s):
-        return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
+
+def make_bounce_body(flat: FlatScene, settings: RenderSettings,
+                     features: frozenset, tracers=None):
+    """Returns body(state) → state implementing ONE bounce of the wavefront
+    loop (trace → env/emission → BSDF sample → NEE shadow trace → update)."""
+    trace_closest, trace_any = tracers or make_tracers(flat, settings)
+    geom, mats, lights, env = flat.geometry, flat.materials, flat.lights, flat.env
+
+    use_mis = settings.kernel == "mis"
+    has_env = env.count > 0
+    has_lights = lights.count > 0
+    p_inf = lights_mod.p_infinite(lights, env)
 
     def body(s):
         o, d, atten, L, active = s["o"], s["d"], s["atten"], s["L"], s["active"]
         stream = s["stream"]
         bounce = s["bounce"]
+        n = o.shape[0]
 
         rec = trace_closest(o, d, RAY_EPS, jnp.inf, active=active)
         hit = rec.hit & active
@@ -276,10 +275,56 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
             + jnp.sum(active.astype(jnp.float32)) * (2.0 if use_mis else 1.0),
         )
 
+    return body
+
+
+def render_sample(flat: FlatScene, settings: RenderSettings,
+                  sample_idx: jnp.ndarray, pixel_ids=None, tracers=None,
+                  return_stats: bool = False,
+                  features: frozenset = bsdf_mod.ALL_FEATURES):
+    """Trace one sample per pixel; returns (R, 3) radiance (R = len(pixel_ids),
+    default all pixels). With return_stats, also returns the number of rays
+    traced (closest + shadow), for honest Mrays/sec accounting."""
+    state = init_path_state(flat, settings, sample_idx, pixel_ids)
+    body = make_bounce_body(flat, settings, features, tracers)
+
+    def cond(s):
+        return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
+
     final = jax.lax.while_loop(cond, body, state)
     if return_stats:
         return final["L"], final["rays"]
     return final["L"]
+
+
+@partial(jax.jit, static_argnames=("settings", "features"),
+         donate_argnames=("state",))
+def bounce_step_jit(flat: FlatScene, settings: RenderSettings, state,
+                    features: frozenset = bsdf_mod.ALL_FEATURES):
+    """One bounce as its own XLA program (see render_sample_stepped)."""
+    return make_bounce_body(flat, settings, features)(state)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _init_state_jit(flat, settings, sample_idx):
+    return init_path_state(flat, settings, sample_idx)
+
+
+def render_sample_stepped(flat: FlatScene, settings: RenderSettings,
+                          sample_idx, features: frozenset = bsdf_mod.ALL_FEATURES,
+                          return_stats: bool = False):
+    """Host-driven bounce loop: each bounce is a separate device program.
+    Needed for very large scenes where a fused multi-bounce program exceeds
+    the device watchdog (big-BVH lockstep traversal is seconds per bounce);
+    also allows early exit once all paths die. State stays on device."""
+    state = _init_state_jit(flat, settings, jnp.int32(sample_idx))
+    for _ in range(settings.max_bounces):
+        state = bounce_step_jit(flat, settings, state, features)
+        if not bool(jax.device_get(jnp.any(state["active"]))):
+            break
+    if return_stats:
+        return state["L"], state["rays"]
+    return state["L"]
 
 
 @partial(jax.jit, static_argnames=("settings", "features"),

@@ -1,0 +1,230 @@
+"""Studio preview renderer: the editor-viewport equivalent.
+
+Capability parity with /root/reference/src/renderer_studio/ (raster editor
+viewport): a fast single-bounce shaded preview with an object-id AOV for
+click-to-select picking (readbackObjectIdAt, renderer_studio.cpp:114-138),
+Laplacian edge outlines with selection highlighting (edge_pass.metal), a
+procedural infinite ground grid with axis coloring and distance fade
+(grid.metal), and an orbit/pan/zoom camera (studio_camera.cpp). On TPU the
+idiomatic implementation is a one-bounce ray "raster": primary rays traced
+against the same flattened scene the path tracer uses, headlight-shaded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from platinum_tpu.core.camera import Camera
+from platinum_tpu.core.transform import Transform
+from platinum_tpu.models.camera_rays import spawn_camera_rays
+from platinum_tpu.ops.hitdata import interpolate_hit
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.integrator import make_tracers
+from platinum_tpu.render.types import FlatScene, RenderSettings
+
+# Theme colors (parity with the viewport section of theme.hpp)
+GRID_COLOR = np.array([0.42, 0.42, 0.42], np.float32)
+AXIS_X_COLOR = np.array([0.85, 0.3, 0.3], np.float32)
+AXIS_Z_COLOR = np.array([0.3, 0.45, 0.85], np.float32)
+BACKGROUND = np.array([0.16, 0.16, 0.18], np.float32)
+SELECTION = np.array([1.0, 0.55, 0.1], np.float32)
+OUTLINE = np.array([0.05, 0.05, 0.05], np.float32)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _studio_pass(flat: FlatScene, settings: RenderSettings,
+                 selected_node: jnp.ndarray):
+    """Returns (color (H,W,3), object_id (H,W) int32)."""
+    w, h = settings.width, settings.height
+    n = w * h
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = pix % w
+    py = pix // w
+    center = jnp.full((n, 2), 0.5)
+    o, d = spawn_camera_rays(flat.camera, px, py, center, center)
+
+    trace_closest, _ = make_tracers(flat, settings)
+    rec = trace_closest(o, d, 1e-3, jnp.inf)
+    hd = interpolate_hit(flat.geometry, rec, o, d)
+    node_id = jax.lax.bitcast_convert_type(
+        flat.geometry.tri_geo[jnp.where(rec.hit, rec.tri, 0), 10], jnp.int32
+    )
+    node_id = jnp.where(rec.hit, node_id, -1)
+
+    # Headlight shade: albedo * (0.25 + 0.75|n.d|), like the studio main pass
+    albedo = flat.materials.packed[hd.mat_idx, 0:3]
+    ndotl = jnp.abs(jnp.sum(hd.normal * -d, axis=-1))
+    shaded = albedo * (0.25 + 0.75 * ndotl)[:, None]
+
+    # Infinite ground grid where rays miss geometry (grid.metal equivalent)
+    denom = d[:, 1]
+    t_plane = -o[:, 1] / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+    gp = o + d * t_plane[:, None]
+    hits_plane = (~rec.hit) & (t_plane > 0.0) & (jnp.abs(gp[:, 0]) < 200) & (
+        jnp.abs(gp[:, 2]) < 200
+    )
+    fx = jnp.abs(gp[:, 0] - jnp.round(gp[:, 0]))
+    fz = jnp.abs(gp[:, 2] - jnp.round(gp[:, 2]))
+    fw = jnp.maximum(t_plane * 2e-3, 8e-3)  # crude screen-space AA width
+    line = (fx < fw) | (fz < fw)
+    on_x_axis = jnp.abs(gp[:, 2]) < fw * 2
+    on_z_axis = jnp.abs(gp[:, 0]) < fw * 2
+    fade = jnp.clip(1.0 - t_plane / 120.0, 0.0, 1.0)
+    grid_rgb = jnp.where(
+        on_x_axis[:, None], AXIS_X_COLOR,
+        jnp.where(on_z_axis[:, None], AXIS_Z_COLOR, GRID_COLOR),
+    )
+    bg = jnp.broadcast_to(BACKGROUND, (n, 3))
+    grid_col = jnp.where(
+        (hits_plane & (line | on_x_axis | on_z_axis))[:, None],
+        bg + (grid_rgb - bg) * fade[:, None],
+        bg,
+    )
+
+    color = jnp.where(rec.hit[:, None], shaded, grid_col)
+    color = color.reshape(h, w, 3)
+    ids = node_id.reshape(h, w)
+
+    # Edge outlines: 3x3 Laplacian over object ids (edge_pass.metal)
+    def shift(a, dy, dx):
+        return jnp.roll(a, (dy, dx), axis=(0, 1))
+
+    lap = sum(
+        (shift(ids, dy, dx) != ids).astype(jnp.float32)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0))
+    )
+    edge = lap > 0
+    neighbors_selected = sum(
+        (shift(ids, dy, dx) == selected_node).astype(jnp.int32)
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0))
+    ) > 0
+    is_sel_edge = (
+        edge & (neighbors_selected | (ids == selected_node))
+        & (selected_node >= 0)  # -1 = nothing selected (matches miss ids)
+    )
+    color = jnp.where(edge[..., None], OUTLINE, color)
+    color = jnp.where(is_sel_edge[..., None], SELECTION, color)
+    return color, ids
+
+
+class StudioRenderer:
+    """Editor viewport: shaded preview, object picking, selection outlines."""
+
+    def __init__(self, scene, width: int = 960, height: int = 540):
+        self.scene = scene
+        self.settings = RenderSettings(width=width, height=height, spp=1,
+                                       max_bounces=1, sampler="pcg4d")
+        self.camera = StudioCamera()
+        self._flat = None
+        self._ids = None
+
+    def invalidate(self):
+        """Call after scene edits; re-flattens on next render."""
+        self._flat = None
+
+    def handle_resize_viewport(self, width: int, height: int):
+        from dataclasses import replace
+
+        self.settings = replace(self.settings, width=width, height=height)
+        self.invalidate()
+
+    def render(self, selected_node: int = -1) -> np.ndarray:
+        if self._flat is None:
+            cam_node = self.camera.attach(self.scene)
+            self._flat = flatten_scene(self.scene, cam_node, self.settings)
+        color, ids = _studio_pass(self._flat, self.settings,
+                                  jnp.int32(selected_node))
+        self._ids = ids
+        return np.asarray(color)
+
+    def readback_object_id_at(self, x: int, y: int) -> int:
+        """Click-to-select picking (parity with readbackObjectIdAt)."""
+        if self._ids is None:
+            self.render()
+        return int(np.asarray(self._ids[y, x]))
+
+    # Input forwarding (parity with the studio input handlers)
+    def handle_orbit(self, dx: float, dy: float):
+        self.camera.orbit(dx, dy)
+        self.invalidate()
+
+    def handle_pan(self, dx: float, dy: float):
+        self.camera.pan(dx, dy)
+        self.invalidate()
+
+    def handle_zoom(self, amount: float):
+        self.camera.zoom(amount)
+        self.invalidate()
+
+    def camera_to(self, position, target):
+        self.camera.move_to(position, target)
+        self.invalidate()
+
+
+@dataclass
+class StudioCamera:
+    """Orbit/pan/zoom camera with pole clamping
+    (parity with studio_camera.cpp:15-59)."""
+
+    target: np.ndarray = None
+    distance: float = 20.0
+    azimuth: float = 0.6
+    elevation: float = 0.5
+
+    def __post_init__(self):
+        if self.target is None:
+            self.target = np.zeros(3, np.float32)
+        self.target = np.asarray(self.target, np.float32)
+
+    @property
+    def position(self) -> np.ndarray:
+        ce = np.cos(self.elevation)
+        return self.target + self.distance * np.array([
+            ce * np.sin(self.azimuth), np.sin(self.elevation),
+            ce * np.cos(self.azimuth),
+        ], np.float32)
+
+    def orbit(self, dx: float, dy: float):
+        self.azimuth -= dx * 0.01
+        self.elevation = float(np.clip(self.elevation + dy * 0.01,
+                                       -np.pi / 2 + 1e-3, np.pi / 2 - 1e-3))
+
+    def pan(self, dx: float, dy: float):
+        fwd = (self.target - self.position)
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(np.array([0, 1, 0], np.float32), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        scale = self.distance * 0.002
+        self.target = self.target + (right * dx + up * dy) * scale
+
+    def zoom(self, amount: float):
+        self.distance = float(np.clip(self.distance * (0.9 ** amount), 0.05, 1e5))
+
+    def move_to(self, position, target):
+        position = np.asarray(position, np.float32)
+        self.target = np.asarray(target, np.float32)
+        delta = position - self.target
+        self.distance = float(np.linalg.norm(delta))
+        self.elevation = float(np.arcsin(np.clip(delta[1] / self.distance, -1, 1)))
+        self.azimuth = float(np.arctan2(delta[0], delta[2]))
+
+    def attach(self, scene) -> int:
+        """Create/update the studio camera node in the scene; returns its id."""
+        for nid in list(scene._nodes):
+            if scene.node(nid).name == "__studio_camera__":
+                node = scene.node(nid)
+                break
+        else:
+            node = scene.create_node("__studio_camera__")
+            node.camera = Camera.with_focal_length(35.0)
+        node.camera.focus_distance = self.distance
+        node.transform = Transform(
+            translation=self.position, target=self.target, track=True
+        )
+        return node.id

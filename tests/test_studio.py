@@ -1,0 +1,43 @@
+import numpy as np
+
+from platinum_tpu.app.scenes import make_cornell_scene
+from platinum_tpu.render.studio import StudioCamera, StudioRenderer
+
+
+def test_studio_render_and_pick():
+    scene, cam = make_cornell_scene()
+    studio = StudioRenderer(scene, width=96, height=64)
+    studio.camera_to([0, 5, 30], [0, 5, 0])
+    img = studio.render()
+    assert img.shape == (64, 96, 3)
+    assert np.isfinite(img).all()
+    # The box fills the center of the view: picking there returns its node id
+    box_node = scene.get_instances()[0].node_id
+    picked = studio.readback_object_id_at(48, 32)
+    assert picked == box_node
+    # Corner pixels look past the open box front onto background/grid
+    assert studio.readback_object_id_at(2, 2) in (-1, box_node)
+
+    # Selection changes the image (outline highlight)
+    img_sel = studio.render(selected_node=box_node)
+    assert not np.allclose(img, img_sel)
+
+
+def test_studio_camera_controls():
+    cam = StudioCamera()
+    cam.move_to([0, 0, 10], [0, 0, 0])
+    assert np.isclose(cam.distance, 10.0)
+    p0 = cam.position.copy()
+    cam.orbit(50.0, 0.0)
+    assert not np.allclose(cam.position, p0)
+    cam.zoom(1.0)
+    assert cam.distance < 10.0
+    # pole clamp
+    for _ in range(100):
+        cam.orbit(0, 1000.0)
+    assert cam.elevation < np.pi / 2
+    d = cam.position - cam.target
+    assert np.isfinite(d).all()
+
+    cam.pan(10, 0)
+    assert not np.allclose(cam.target, [0, 0, 0])
