@@ -129,6 +129,25 @@ def cmd_render(args):
     print(out)
 
 
+def cmd_preview(args):
+    """Studio viewport preview: shaded frame + optional pick at a pixel."""
+    from platinum_tpu.render.studio import StudioRenderer
+    from platinum_tpu.io.png import write_png
+
+    scene, cam_id = _load_scene(args.scene)
+    w, h = (int(v) for v in args.size.split("x"))
+    studio = StudioRenderer(scene, width=w, height=h)
+    if cam_id is not None:
+        m = scene.world_transform(cam_id)
+        studio.camera_to(m[:3, 3], m[:3, 3] - m[:3, 2] * 10.0)
+    img = studio.render(selected_node=args.select)
+    if args.pick:
+        x, y = (int(v) for v in args.pick.split(","))
+        print(f"node at ({x},{y}): {studio.readback_object_id_at(x, y)}")
+    write_png(args.output, img)
+    print(args.output)
+
+
 def cmd_bake_luts(args):
     from platinum_tpu.tools.lut_baker import bake_all
 
@@ -177,6 +196,14 @@ def build_parser():
     r.add_argument("--exposure", type=float, default=0.0)
     r.add_argument("--progress", action="store_true")
     r.set_defaults(func=cmd_render)
+
+    pv = sub.add_parser("preview", help="studio viewport preview frame")
+    pv.add_argument("scene")
+    pv.add_argument("-o", "--output", default="preview.png")
+    pv.add_argument("--size", default="960x540")
+    pv.add_argument("--select", type=int, default=-1)
+    pv.add_argument("--pick", default=None, help="x,y pixel to pick")
+    pv.set_defaults(func=cmd_preview)
 
     b = sub.add_parser("bake-luts", help="regenerate GGX energy LUTs")
     b.add_argument("--spp", type=int, default=8192)

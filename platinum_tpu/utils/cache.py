@@ -20,7 +20,15 @@ def enable_compilation_cache():
         return
     import jax
 
-    path = os.environ.get("PLATINUM_TPU_CACHE_DIR", _DEFAULT)
+    # Scope the cache per backend: XLA:CPU AOT artifacts encode host CPU
+    # features and are not portable across machines (SIGILL risk).
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+    path = os.path.join(
+        os.environ.get("PLATINUM_TPU_CACHE_DIR", _DEFAULT), backend
+    )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
