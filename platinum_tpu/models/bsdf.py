@@ -281,7 +281,7 @@ def _aniso_rotation(ctx):
 
 ALL_FEATURES = frozenset(
     {"metallic", "transparent", "clearcoat", "smooth", "aniso", "thin",
-     "tex_rough"}
+     "tex_rough", "env", "area_lights"}
 )
 
 

@@ -479,4 +479,11 @@ def analyze_features(flat: FlatScene) -> frozenset:
     for name in ("metallic", "transmission", "clearcoat", "clearcoat_roughness",
                  "anisotropy", "roughness", "flags", "textures"):
         setattr(host, name, np.asarray(getattr(flat.materials, name)))
-    return scene_features(host)
+    feats = set(scene_features(host))
+    # Light-source presence is also static per scene: skip whole sampling
+    # paths when a source type doesn't exist
+    if int(np.asarray(flat.env.count)) > 0:
+        feats.add("env")
+    if int(np.asarray(flat.lights.count)) > 0:
+        feats.add("area_lights")
+    return frozenset(feats)

@@ -82,9 +82,13 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
     geom, mats, lights, env = flat.geometry, flat.materials, flat.lights, flat.env
 
     use_mis = settings.kernel == "mis"
-    has_env = env.count > 0
-    has_lights = lights.count > 0
-    p_inf = lights_mod.p_infinite(lights, env)
+    env_on = "env" in features
+    lights_on = "area_lights" in features
+    has_env = env.count > 0 if env_on else False
+    has_lights = lights.count > 0 if lights_on else False
+    p_inf = (lights_mod.p_infinite(lights, env)
+             if (env_on and lights_on)
+             else (1.0 if env_on else 0.0))
 
     def body(s):
         o, d, atten, L, active = s["o"], s["d"], s["atten"], s["L"], s["active"]
@@ -97,16 +101,18 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         miss = active & ~rec.hit
 
         # --- Environment + background on miss -------------------------------
-        env_le = lights_mod.env_radiance(env, d)
-        if use_mis:
-            env_pdf = env_pdf_full = lights_mod.env_pdf_of_dir(env, d) * p_inf
-            w_env = jnp.where(
-                s["prev_spec"], 1.0,
-                s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + env_pdf_full, 1e-20),
-            )
-        else:
-            w_env = jnp.ones((n,))
-        L = L + jnp.where((miss & has_env)[:, None], atten * env_le * w_env[:, None], 0.0)
+        if env_on:
+            env_le = lights_mod.env_radiance(env, d)
+            if use_mis:
+                env_pdf_full = lights_mod.env_pdf_of_dir(env, d) * p_inf
+                w_env = jnp.where(
+                    s["prev_spec"], 1.0,
+                    s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + env_pdf_full, 1e-20),
+                )
+            else:
+                w_env = jnp.ones((n,))
+            L = L + jnp.where((miss & has_env)[:, None],
+                              atten * env_le * w_env[:, None], 0.0)
 
         # --- Hit shading data -----------------------------------------------
         hd = interpolate_hit(geom, rec, o, d)
@@ -163,7 +169,7 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
 
         # --- Emission on hit (MIS against NEE) ------------------------------
         le = bsdf_mod.emitted_radiance(ctx, hd.wo)
-        if use_mis:
+        if use_mis and lights_on:
             cos_hit = jnp.abs(jnp.sum(d * hd.gnormal, axis=-1))
             light_pdf_hit = (
                 (1.0 - p_inf)
@@ -190,27 +196,40 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         )
 
         # --- Next-event estimation -------------------------------------------
-        if use_mis:
+        if use_mis and (env_on or lights_on):
             stream, u_nee2 = stream.next_2d()
             stream, u_sel = stream.next_1d()
 
-            use_env_light = (u_sel < p_inf) & has_env
-            u_area = jnp.where(
-                p_inf < 1.0, (u_sel - p_inf) / jnp.maximum(1.0 - p_inf, 1e-20), 0.0
-            )
-            ls_env = lights_mod.sample_env_light(env, u_nee2)
-            ls_area = lights_mod.sample_area_light(geom, lights, hd.pos, u_area, u_nee2)
-
-            sel = use_env_light[:, None]
-            li = jnp.where(sel, ls_env.li, ls_area.li)
-            wi_world = jnp.where(sel, ls_env.wi, ls_area.wi)
-            dist = jnp.where(use_env_light, ls_env.dist, ls_area.dist)
-            l_pdf = jnp.where(use_env_light, ls_env.pdf, ls_area.pdf)
-            p_light = jnp.where(
-                use_env_light,
-                p_inf,  # env count is 1 when present
-                (1.0 - p_inf) * ls_area.p_light,
-            )
+            if env_on and lights_on:
+                use_env_light = (u_sel < p_inf) & has_env
+                u_area = jnp.where(
+                    p_inf < 1.0,
+                    (u_sel - p_inf) / jnp.maximum(1.0 - p_inf, 1e-20), 0.0,
+                )
+                ls_env = lights_mod.sample_env_light(env, u_nee2)
+                ls_area = lights_mod.sample_area_light(
+                    geom, lights, hd.pos, u_area, u_nee2
+                )
+                sel = use_env_light[:, None]
+                li = jnp.where(sel, ls_env.li, ls_area.li)
+                wi_world = jnp.where(sel, ls_env.wi, ls_area.wi)
+                dist = jnp.where(use_env_light, ls_env.dist, ls_area.dist)
+                l_pdf = jnp.where(use_env_light, ls_env.pdf, ls_area.pdf)
+                p_light = jnp.where(
+                    use_env_light,
+                    p_inf,  # env count is 1 when present
+                    (1.0 - p_inf) * ls_area.p_light,
+                )
+            elif env_on:
+                ls = lights_mod.sample_env_light(env, u_nee2)
+                li, wi_world, dist, l_pdf = ls.li, ls.wi, ls.dist, ls.pdf
+                p_light = jnp.ones((n,))
+            else:
+                ls = lights_mod.sample_area_light(
+                    geom, lights, hd.pos, u_sel, u_nee2
+                )
+                li, wi_world, dist, l_pdf = ls.li, ls.wi, ls.dist, ls.pdf
+                p_light = ls.p_light
 
             wi_local = jnp.stack(
                 [jnp.sum(wi_world * hd.frame_t, -1),
@@ -221,10 +240,9 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                                    multiscatter=bool(settings.flags & 1),
                                    features=features)
             f_nonzero = jnp.sum(ev.f * ev.f, axis=-1) > 0.0
-            do_nee = (
-                hit & bsdf_mod.wants_nee(ctx) & f_nonzero
-                & (has_lights | has_env)
-            )
+            do_nee = hit & bsdf_mod.wants_nee(ctx) & f_nonzero
+            if env_on and lights_on:
+                do_nee = do_nee & (has_lights | has_env)
             occluded = trace_any(hd.pos, wi_world, RAY_EPS, dist - RAY_EPS,
                                  active=do_nee)
             ld = (
