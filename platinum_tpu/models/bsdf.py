@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from platinum_tpu.models import fresnel, ggx
+from platinum_tpu.ops import lookup
 from platinum_tpu.ops import luts as luts_mod
 from platinum_tpu.ops import samplers as smp
 from platinum_tpu.render.types import (
@@ -73,6 +74,10 @@ class ShadingContext:
     energy: jnp.ndarray | None = None      # (M, K, 4)
     energy_avg: jnp.ndarray | None = None  # (M, 4)
     mat_idx: jnp.ndarray | None = None     # (R,)
+    # Extra per-lane rows resolved once at context creation (gather-free):
+    base_alpha: jnp.ndarray | None = None  # (R,) base-color alpha
+    tex_rows: jnp.ndarray | None = None    # (R, 6) i32 texture slots (-1 none)
+    energy_avg_row: jnp.ndarray | None = None  # (R, 4) per-lane energy avgs
 
     @property
     def alpha(self):
@@ -94,9 +99,11 @@ def make_shading_context(
 ) -> ShadingContext:
     """Gather material parameters per ray; apply texture lookups when an
     atlas is present."""
+    base_alpha = None
     if materials.packed is not None:
-        row = materials.packed[mat_idx]  # one wide gather
+        row = lookup.rows(materials.packed, mat_idx)  # gather-free wide row
         albedo = row[..., 0:3]
+        base_alpha = row[..., 3]
         emission = row[..., 4:7]
         roughness = row[..., 7]
         metallic = row[..., 8]
@@ -106,7 +113,7 @@ def make_shading_context(
         anisotropy_rotation = row[..., 12]
         clearcoat = row[..., 13]
         clearcoat_roughness = row[..., 14]
-        flags = jax.lax.bitcast_convert_type(row[..., 15], jnp.int32)
+        flags = row[..., 15].astype(jnp.int32)  # value float, see flatten
     else:
         albedo = materials.base_color[mat_idx, :3]
         emission = materials.emission[mat_idx]
@@ -120,12 +127,12 @@ def make_shading_context(
         clearcoat_roughness = materials.clearcoat_roughness[mat_idx]
         flags = materials.flags[mat_idx]
 
+    tex_rows = None
     if atlas is not None and atlas_table is not None:
         from platinum_tpu.ops.texturing import sample_material_textures
 
-        tex = sample_material_textures(
-            atlas, atlas_table, materials.textures[mat_idx], uv
-        )
+        tex_rows = lookup.rows(materials.textures, mat_idx)
+        tex = sample_material_textures(atlas, atlas_table, tex_rows, uv)
         albedo = jnp.where(tex.has_base[:, None], tex.base_rgb, albedo)
         emission = emission * jnp.where(
             tex.has_emission[:, None], tex.emission_rgb, 1.0
@@ -150,6 +157,10 @@ def make_shading_context(
         energy=materials.energy,
         energy_avg=materials.energy_avg,
         mat_idx=mat_idx,
+        base_alpha=base_alpha,
+        tex_rows=tex_rows,
+        energy_avg_row=(lookup.rows(materials.energy_avg, mat_idx)
+                        if materials.energy_avg is not None else None),
     )
 
 
@@ -181,15 +192,17 @@ def _use_rows(ctx, features) -> bool:
 
 def _energy_row(ctx, cos):
     """Interpolated (R, 4) [E, E_ms, E_trans_in, E_trans_out] at per-lane
-    cos from the per-material rows — 2 gathers instead of 12-16 for the
-    generic 2D/3D LUT path (XLA CSEs repeated identical lookups)."""
-    k = ctx.energy.shape[1]
+    cos from the per-material rows. Gather-free: linear interpolation over
+    the flattened (M*K, 4) table as ONE sparse-weight matmul (exact parity
+    with the former two-gather formulation; see ops.lookup.interp_rows).
+    Bin counts guarantee frac==0 at each material's last bin, so idx+1
+    never bleeds weight into the next material's rows."""
+    m, k = ctx.energy.shape[0], ctx.energy.shape[1]
     x = jnp.clip(cos * k - 0.5, 0.0, k - 1.0)
     x0 = jnp.floor(x)
-    f = (x - x0)[..., None]
-    i0 = x0.astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, k - 1)
-    return ctx.energy[ctx.mat_idx, i0] * (1 - f) + ctx.energy[ctx.mat_idx, i1] * f
+    f = x - x0
+    lin = ctx.mat_idx * k + x0.astype(jnp.int32)
+    return lookup.interp_rows(ctx.energy.reshape(m * k, 4), lin, f)
 
 
 def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg,
@@ -198,7 +211,7 @@ def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg,
     if ctx is not None and features is not None and _use_rows(ctx, features):
         e_wo = _energy_row(ctx, wo_z)[..., 0]
         e_wi = _energy_row(ctx, wi_z)[..., 0]
-        e_avg = ctx.energy_avg[ctx.mat_idx, 0]
+        e_avg = ctx.energy_avg_row[..., 0]
     else:
         e_wo = luts_mod.sample2d(luts.E, wo_z, rough)
         e_wi = luts_mod.sample2d(luts.E, wi_z, rough)
@@ -232,7 +245,7 @@ def _diffuse_factor(luts, ctx, wo_z, wi_z, features=None):
     if features is not None and _use_rows(ctx, features):
         e_ms_wo = _energy_row(ctx, wo_z)[..., 1]
         e_ms_wi = _energy_row(ctx, wi_z)[..., 1]
-        e_ms_avg = ctx.energy_avg[ctx.mat_idx, 1]
+        e_ms_avg = ctx.energy_avg_row[..., 1]
     else:
         p = _ior_param(ctx.ior)
         e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)

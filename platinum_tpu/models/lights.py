@@ -145,16 +145,17 @@ def sample_area_light(
     (kernel.metal:379-435)."""
     # O(1) alias-table pick (replaces the reference's binary search,
     # kernel.metal:379-394), reusing the draw's leftover bits for the accept
-    import jax.lax as lax
+    from platinum_tpu.ops import lookup
 
     n = lights.packed.shape[0]
     scaled = u_select * n
     slot = jnp.minimum(scaled.astype(jnp.int32), n - 1)
     frac = jnp.clip(scaled - slot.astype(jnp.float32), 0.0, 1.0)
-    row = lights.packed[slot]  # one wide gather: slot row
+    row = lookup.rows(lights.packed, slot)
     take_alias = frac >= row[..., 14]
-    alias = lax.bitcast_convert_type(row[..., 15], jnp.int32)
-    row = jnp.where(take_alias[..., None], lights.packed[alias], row)
+    alias = row[..., 15].astype(jnp.int32)  # value float, see flatten
+    idx = jnp.where(take_alias, alias, slot)
+    row = lookup.rows(lights.packed, idx)
 
     v0 = row[..., 0:3]
     e1 = row[..., 3:6]

@@ -50,11 +50,14 @@ def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
     v = rec.bary[..., 1:2]
     w = 1.0 - u - v
 
-    # Two wide-row gathers replace ~14 narrow ones (gathers dominate on this
-    # backend): tri_shade packs per-corner normals/tangent/uvs, tri_geo packs
+    # Two gather-free wide-row lookups (per-lane gathers cost ~1ms/262k lanes
+    # on this backend; ops.lookup picks select/one-hot-matmul/gather by table
+    # height): tri_shade packs per-corner normals/tangent/uvs, tri_geo packs
     # v0/e1/e2 + the material index.
-    shade = geometry.tri_shade[tri]   # (R, 24)
-    geo = geometry.tri_geo[tri]       # (R, 12)
+    from platinum_tpu.ops import lookup
+
+    shade = lookup.rows(geometry.tri_shade, tri)   # (R, 24)
+    geo = lookup.rows(geometry.tri_geo, tri)       # (R, 12)
 
     n0 = shade[..., 0:3]
     n1 = shade[..., 3:6]
@@ -68,7 +71,7 @@ def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
     e1 = geo[..., 3:6]
     e2 = geo[..., 6:9]
     gnormal = _norm(jnp.cross(e1, e2))
-    mat_idx = lax.bitcast_convert_type(geo[..., 9], jnp.int32)
+    mat_idx = geo[..., 9].astype(jnp.int32)  # value float, see flatten
 
     t = jnp.where(rec.hit, rec.t, 0.0)
     pos = o + d * t[..., None]

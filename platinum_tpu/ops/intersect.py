@@ -107,14 +107,21 @@ def make_brute_tracer(geometry: Geometry, chunk: int = 256):
                 o_b, d_b, v0[None], e1[None], e2[None],
                 tmin[:, None], jnp.minimum(tmax, best_t)[:, None],
             )
+            # Winner extraction WITHOUT per-lane gathers (t[rows, argmin]
+            # lowers to a serialized gather on this backend): masked min +
+            # first-match payload selection, all dense VPU reductions.
             t = jnp.where(valid, t, INF)
-            j = jnp.argmin(t, axis=-1)
-            rows = jnp.arange(r)
-            cand_t = t[rows, j]
+            cand_t = jnp.min(t, axis=-1)
+            is_best = (t <= cand_t[:, None]) & valid
+            first = is_best & (jnp.cumsum(is_best.astype(jnp.int32), -1) == 1)
+            cand_u = jnp.sum(jnp.where(first, u, 0.0), axis=-1)
+            cand_v = jnp.sum(jnp.where(first, v, 0.0), axis=-1)
+            cols = jnp.arange(t.shape[-1], dtype=jnp.int32)
+            cand_j = jnp.sum(jnp.where(first, cols[None, :], 0), axis=-1)
             better = cand_t < best_t
-            best_tri = jnp.where(better, base + j.astype(jnp.int32), best_tri)
-            best_u = jnp.where(better, u[rows, j], best_u)
-            best_v = jnp.where(better, v[rows, j], best_v)
+            best_tri = jnp.where(better, base + cand_j, best_tri)
+            best_u = jnp.where(better, cand_u, best_u)
+            best_v = jnp.where(better, cand_v, best_v)
             best_t = jnp.where(better, cand_t, best_t)
             return (best_t, best_tri, best_u, best_v), None
 

@@ -325,7 +325,9 @@ def flatten_scene(
         lpacked[:, 12] = area
         lpacked[:, 13] = power / max(float(cum[-1]), 1e-20)
         lpacked[:, 14] = lp
-        lpacked[:, 15] = lalias.astype(np.int32).view(np.float32)
+        # alias index as a VALUE float (not bitcast): packed rows feed the
+        # one-hot-matmul lookup path, which only copies normal floats exactly
+        lpacked[:, 15] = lalias.astype(F)
         lights = LightTable(
             tri=jnp.asarray(light_tris),
             emission=jnp.asarray(le),
@@ -388,8 +390,10 @@ def flatten_scene(
     tri_geo[:, 0:3] = v0w
     tri_geo[:, 3:6] = e1w
     tri_geo[:, 6:9] = e2w
-    tri_geo[:, 9] = tri_mats.astype(np.int32).view(np.float32)
-    tri_geo[:, 10] = tri_nodes.view(np.float32)  # node id (studio picking AOV)
+    # mat/node ids as VALUE floats (|x| < 2^24): survive the one-hot-matmul
+    # lookup path exactly, unlike bitcast bit patterns
+    tri_geo[:, 9] = tri_mats.astype(F)
+    tri_geo[:, 10] = tri_nodes.astype(F)  # node id (studio picking AOV)
     tri_shade = np.zeros((t_cnt, 24), F)
     tri_shade[:, 0:3] = normals[tri[:, 0]]
     tri_shade[:, 3:6] = normals[tri[:, 1]]
@@ -410,7 +414,7 @@ def flatten_scene(
     mat_packed[:, 12] = aniso_rot
     mat_packed[:, 13] = coat
     mat_packed[:, 14] = coat_rough
-    mat_packed[:, 15] = flags.view(np.float32)
+    mat_packed[:, 15] = flags.astype(F)  # value float, see tri_geo note
 
     if bvh_host is not None:
         bn = np.zeros((bvh_host.num_nodes, 12), F)

@@ -126,7 +126,7 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             from platinum_tpu.ops.texturing import sample_normal_map
 
             has_nm, nm = sample_normal_map(
-                flat.atlas, flat.atlas_table, mats.textures[hd.mat_idx], hd.uv
+                flat.atlas, flat.atlas_table, ctx.tex_rows, hd.uv
             )
             mapped = (hd.frame_t * nm[..., 0:1] + hd.frame_b * nm[..., 1:2]
                       + hd.normal * nm[..., 2:3])
@@ -154,13 +154,12 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             from platinum_tpu.ops.texturing import sample_base_alpha
             from platinum_tpu.render.types import MAT_USES_ALPHA
 
-            base_alpha = mats.packed[hd.mat_idx, 3] * sample_base_alpha(
-                flat.atlas, flat.atlas_table, mats.textures[hd.mat_idx], hd.uv
+            base_alpha = ctx.base_alpha * sample_base_alpha(
+                flat.atlas, flat.atlas_table, ctx.tex_rows, hd.uv
             )
             alpha_pass = (
                 hit
-                & ((jax.lax.bitcast_convert_type(
-                    mats.packed[hd.mat_idx, 15], jnp.int32) & MAT_USES_ALPHA) != 0)
+                & ((ctx.flags & MAT_USES_ALPHA) != 0)
                 & (u_alpha >= base_alpha)
             )
         else:

@@ -51,13 +51,15 @@ def _studio_pass(flat: FlatScene, settings: RenderSettings,
     trace_closest, _ = make_tracers(flat, settings)
     rec = trace_closest(o, d, 1e-3, jnp.inf)
     hd = interpolate_hit(flat.geometry, rec, o, d)
-    node_id = jax.lax.bitcast_convert_type(
-        flat.geometry.tri_geo[jnp.where(rec.hit, rec.tri, 0), 10], jnp.int32
-    )
+    from platinum_tpu.ops import lookup
+
+    node_id = lookup.rows(
+        flat.geometry.tri_geo, jnp.where(rec.hit, rec.tri, 0)
+    )[..., 10].astype(jnp.int32)  # value float, see flatten
     node_id = jnp.where(rec.hit, node_id, -1)
 
     # Headlight shade: albedo * (0.25 + 0.75|n.d|), like the studio main pass
-    albedo = flat.materials.packed[hd.mat_idx, 0:3]
+    albedo = lookup.rows(flat.materials.packed, hd.mat_idx)[..., 0:3]
     ndotl = jnp.abs(jnp.sum(hd.normal * -d, axis=-1))
     shaded = albedo * (0.25 + 0.75 * ndotl)[:, None]
 
