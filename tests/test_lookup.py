@@ -43,3 +43,14 @@ def test_scalars():
     idx = jnp.asarray(np.array([0, 9, 4, 4], np.int32))
     out = jax.jit(lookup.scalars)(table, idx)
     np.testing.assert_array_equal(np.asarray(out), [0.0, 31.5, 14.0, 14.0])
+
+
+def test_interp_rows_matches_gather():
+    rng = np.random.default_rng(7)
+    table = rng.random((300, 4)).astype(np.float32)
+    idx = rng.integers(0, 299, (2048,)).astype(np.int32)
+    frac = rng.random(2048).astype(np.float32)
+    out = jax.jit(lambda t, i, f: lookup.interp_rows(t, i, f, method="onehot"))(
+        jnp.asarray(table), jnp.asarray(idx), jnp.asarray(frac))
+    ref = table[idx] * (1 - frac[:, None]) + table[idx + 1] * frac[:, None]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
