@@ -424,6 +424,13 @@ def flatten_scene(
         bn[:, 7] = bvh_host.tri_start.astype(np.int32).view(np.float32)
         bn[:, 8] = bvh_host.tri_count.astype(np.int32).view(np.float32)
         bvh_arrays["bvh_nodes"] = jnp.asarray(bn)
+        # 16-wide packed BVH for the Pallas packet tracer (accel.wide)
+        from platinum_tpu.accel.wide import build_wide_bvh
+
+        wide = build_wide_bvh(bvh_host, tri_geo,
+                              leaf_cap=settings.wide_leaf_cap)
+        bvh_arrays["wbvh_nodes"] = jnp.asarray(wide.nodes)
+        bvh_arrays["wbvh_tris"] = jnp.asarray(wide.tri_rows)
 
     flat = FlatScene(
         geometry=Geometry(

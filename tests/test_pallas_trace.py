@@ -1,0 +1,136 @@
+"""Pallas packet-traversal kernel vs the brute-force oracle.
+
+Mirrors the reference's reliance on Metal HW intersection being exact
+(kernel.metal:244-251): our kernel must agree with the brute tracer on
+closest hits and occlusion. Runs on the real chip (see conftest notes).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from platinum_tpu.accel.bvh import build_bvh
+from platinum_tpu.accel.wide import build_wide_bvh, validate_wide
+from platinum_tpu.ops.intersect import make_brute_tracer
+from platinum_tpu.ops.pallas_trace import make_packet_tracer
+from platinum_tpu.render.types import Geometry
+
+
+def _random_soup(t=800, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-4, 4, (t, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, 0.3, (t, 3)).astype(np.float32)
+    return v0, v1, v2
+
+
+def _build(v0, v1, v2, leaf_cap=16):
+    t = len(v0)
+    bvh = build_bvh(v0, v1, v2, max_leaf=4)
+    order = bvh.tri_order
+    v0o, v1o, v2o = v0[order], v1[order], v2[order]
+    tri_geo = np.concatenate(
+        [v0o, v1o - v0o, v2o - v0o, np.zeros((t, 3), np.float32)], -1
+    )
+    wide = build_wide_bvh(bvh, tri_geo, leaf_cap=leaf_cap)
+    idx = np.arange(3 * t, dtype=np.int32).reshape(t, 3)
+    pos = np.stack([v0o, v1o, v2o], 1).reshape(-1, 3)
+    geom = Geometry(
+        positions=jnp.asarray(pos), normals=jnp.asarray(pos),
+        tangents=jnp.zeros((3 * t, 4)), uvs=jnp.zeros((3 * t, 2)),
+        indices=jnp.asarray(idx), tri_material=jnp.zeros((t,), jnp.int32),
+    )
+    return wide, geom
+
+
+def test_wide_bvh_structure():
+    v0, v1, v2 = _random_soup(t=3000, seed=3)
+    for cap in (8, 16, 31 * 8):
+        wide, _ = _build(v0, v1, v2, leaf_cap=cap)
+        validate_wide(wide)
+
+
+@pytest.mark.parametrize("leaf_cap", [8, 16])
+def test_packet_matches_brute(leaf_cap):
+    v0, v1, v2 = _random_soup()
+    wide, geom = _build(v0, v1, v2, leaf_cap=leaf_cap)
+    tc, ta = make_packet_tracer(wide.nodes, wide.tri_rows)
+    bc, ba = make_brute_tracer(geom)
+
+    rng = np.random.default_rng(7)
+    r = 1024 + 64   # odd size exercises lane padding
+    o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    rec_p = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf))(o, d)
+    rec_b = jax.jit(lambda o, d: bc(o, d, 1e-3, jnp.inf))(o, d)
+    hp, hb = np.asarray(rec_p.hit), np.asarray(rec_b.hit)
+    # Identical hit sets and triangles (borderline-sliver dets may round
+    # differently between FMA orders; allow a tiny disagreement budget)
+    agree = hp == hb
+    assert agree.mean() > 0.995, f"hit sets differ: {(~agree).sum()} rays"
+    both = hp & hb
+    trip, trib = np.asarray(rec_p.tri)[both], np.asarray(rec_b.tri)[both]
+    tie = ~np.isclose(np.asarray(rec_p.t)[both], np.asarray(rec_b.t)[both],
+                      rtol=1e-5, atol=1e-6)
+    assert ((trip == trib) | ~tie).all() and tie.mean() < 0.005
+    np.testing.assert_allclose(
+        np.asarray(rec_p.t)[both & (np.asarray(rec_p.tri) >= 0)],
+        np.asarray(rec_b.t)[both & (np.asarray(rec_p.tri) >= 0)],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    occ_p = np.asarray(jax.jit(lambda o, d: ta(o, d, 1e-3, 8.0))(o, d))
+    occ_b = np.asarray(jax.jit(lambda o, d: ba(o, d, 1e-3, 8.0))(o, d))
+    assert (occ_p == occ_b).mean() > 0.995
+
+
+def test_packet_active_mask_and_determinism():
+    v0, v1, v2 = _random_soup(seed=11)
+    wide, geom = _build(v0, v1, v2)
+    tc, ta = make_packet_tracer(wide.nodes, wide.tri_rows)
+    rng = np.random.default_rng(5)
+    r = 512
+    o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    active = jnp.asarray(rng.random(r) < 0.5)
+
+    f = jax.jit(lambda o, d, a: tc(o, d, 1e-3, jnp.inf, active=a))
+    rec = f(o, d, active)
+    # masked-off rays never hit
+    assert not np.asarray(rec.hit)[~np.asarray(active)].any()
+    # active rays match the unmasked trace
+    rec_full = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf))(o, d)
+    am = np.asarray(active)
+    assert (np.asarray(rec.tri)[am] == np.asarray(rec_full.tri)[am]).all()
+    # determinism across repeat invocations (regression: VMEM scratch
+    # hazards and OOB leaf reads made results vary run-to-run)
+    s0 = float(jnp.sum(jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)))
+    for _ in range(3):
+        rec_i = f(o, d, active)
+        si = float(jnp.sum(jnp.where(jnp.isfinite(rec_i.t), rec_i.t, 0.0)))
+        assert si == s0
+
+
+def test_packet_end_to_end_matches_brute_render():
+    from platinum_tpu.app.scenes import make_cornell_scene
+    from platinum_tpu.render.flatten import analyze_features, flatten_scene
+    from platinum_tpu.render.integrator import render_sample
+    from platinum_tpu.render.types import RenderSettings
+
+    scene, cam = make_cornell_scene()
+    imgs = {}
+    for tracer in ("brute", "packet"):
+        settings = RenderSettings(width=128, height=128, spp=1, max_bounces=6,
+                                  sampler="pcg4d", kernel="mis", tracer=tracer)
+        flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+        features = analyze_features(flat)
+        f = jax.jit(lambda fl, i: render_sample(fl, settings, i,
+                                                features=features))
+        imgs[tracer] = np.asarray(f(flat, jnp.int32(0)))
+    assert np.isfinite(imgs["packet"]).all()
+    np.testing.assert_array_equal(imgs["brute"], imgs["packet"])
