@@ -3,29 +3,38 @@
 Collapses the binary SAH BVH (accel.bvh / accel.cpp) into a 16-ary tree
 packed in a TPU-native layout:
 
-  * one inner node  = one (128,) f32 row = 16 child slots x 8 floats
-    [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z, meta0, meta1]
-  * one leaf row    = one (128,) f32 row = 8 triangle slots x 16 floats
-    [v0.xyz, e1.xyz, e2.xyz, tri_id, pad x6]
+  * one inner node = one (128,) f32 row = 16 child slots x 8 floats
+    [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z, meta0, pad]
+  * one leaf BLOCK = one (10, 256) f32 tile holding the Moller-Trumbore
+    *matmul coefficients* of 32 triangles: all four MT scalars are bilinear
+    in the per-ray feature vector F = [d, o x d, o, 1], so a single MXU
+    matmul C(10,256) . F(10,128) intersects 64 triangles against 128 rays
+    (one MXU issue amortises the matmul latency over the whole leaf).
+    Block columns: [det x64 | u*det x64 | v*det x64 | t*det x64]; block
+    rows are the F features the column dots against.
 
-Both rows are lane-dense (128 f32 = one full VPU register row), so the whole
-structure lives in VMEM at ~4x the raw triangle footprint with zero padding
-waste — the enabling property for gather-free traversal (see
-ops/pallas_trace.py). meta0 is a *plain float* (not a bitcast): integers are
-exact in f32 up to 2^24, and plain floats survive the MXU permutation
-transpose the kernel uses to move lane-major records into sublane-major
-compute layout (bitcast bit patterns would not: NaN canonicalisation /
-denormal flushes corrupt them).
+Rows are lane-dense (full 128-float VPU rows), so the whole structure lives
+in VMEM (~128 MB on v5e) — the enabling property for gather-free traversal
+(see ops/pallas_trace.py). meta0 in the node rows is a *plain float*
+(exact integers < 2^24 survive the MXU permutation transpose; bitcast bit
+patterns would not). The kernel actually consumes metadata from the
+parallel int32 `meta` table (SMEM-resident: pure scalar loads).
 
-meta0 encoding:
+meta encoding (both the float row slot and the int table):
   >= 0 : inner child — index of the child's own (128,) node row
-  -1   : empty slot (bounds are +inf/-inf so it can never be hit)
-  <= -2: leaf — val = -meta0 - 2 = first_row * 32 + n_rows
+  -1   : empty slot (culled by the kernel's meta mask; its placeholder
+         bounds are never trusted)
+  <= -2: leaf — val = -meta - 2 = first_block * 32 + n_blocks
+
+Triangle ids are implicit: block b's slot c holds the (BVH-ordered)
+triangle b * 32 + c, so the winner's id is recovered from the block base
+and the argmin slot — no id storage or gather.
 
 The reference gets this structure for free from Metal's hardware BVH
 (renderer_pt.cpp:653-749); the collapse-from-binary approach follows the
-standard wide-BVH literature (Ylitie et al. style greedy collapse by
-surface area).
+standard wide-BVH literature (Ylitie-style greedy collapse by surface
+area); the MT-as-matmul factorisation is the classic Plucker/triple-product
+expansion arranged for the MXU.
 """
 
 from __future__ import annotations
@@ -38,27 +47,80 @@ from platinum_tpu.accel.bvh import BVH
 
 F = np.float32
 
-# Width of an inner node (children per node) and a leaf row (tris per row)
+# Width of an inner node (children per node) and a leaf block (tris/block)
 WIDTH = 16
-LEAF_ROW = 8
-# Max triangles referenced by one leaf slot (n_rows <= 31 by encoding;
-# keep small — big leaves trade stack pops for MT rounds)
-DEFAULT_LEAF_CAP = 16
+BLOCK_TRIS = 64
+# n_blocks is encoded in 5 bits
+MAX_LEAF_BLOCKS = 31
+DEFAULT_LEAF_CAP = 64
 
 EMPTY_META = np.float32(-1.0)
 
 
 @dataclass
 class WideBVH:
-    nodes: np.ndarray      # (N, 128) f32 — inner nodes, root is row 0
-    tri_rows: np.ndarray   # (L, 128) f32 — leaf triangle rows
-    n_tris: int            # original triangle count
+    nodes: np.ndarray       # (N, 128) f32 — inner nodes, root is row 0
+    tri_blocks: np.ndarray  # (B, 10, 256) f32 — MT coefficient blocks
+    meta: np.ndarray        # (N*16,) i32 — per-child meta (SMEM table)
+    tri_of_slot: np.ndarray  # (B*64,) i64 — slot -> BVH-ordered tri (-1 pad)
+    n_tris: int             # original triangle count
+
+    @property
+    def vmem_bytes(self) -> int:
+        return self.nodes.nbytes + self.tri_blocks.nbytes
 
 
-def _leaf_meta(row_start: int, n_rows: int) -> float:
-    val = row_start * 32 + n_rows
-    assert n_rows < 32 and val < (1 << 24), (row_start, n_rows)
-    return float(-(val + 2))
+def _leaf_meta(block_start: int, n_blocks: int) -> int:
+    val = block_start * 32 + n_blocks
+    assert 0 < n_blocks <= MAX_LEAF_BLOCKS and val < (1 << 24), (
+        block_start, n_blocks)
+    return -(val + 2)
+
+
+def pack_tri_blocks(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                    slot_tri: np.ndarray) -> np.ndarray:
+    """Build (B, 10, 128) MT coefficient blocks.
+
+    slot_tri: (B*32,) indices into v0/e1/e2 (-1 = padding slot, which gets
+    an all-zero column: det == 0 is never valid).
+
+    Derivation (o, d per ray; v0, e1, e2 per triangle; n = e2 x e1):
+      det   =  d . n
+      u*det = (o x d) . e2  -  d . (e2 x v0)
+      v*det = -(o x d) . e1  -  d . (v0 x e1)
+      t*det =  v0 . n  -  o . n
+    against the per-ray feature rows F = [d(3), o x d(3), o(3), 1].
+    """
+    n_slots = len(slot_tri)
+    assert n_slots % BLOCK_TRIS == 0
+    b = n_slots // BLOCK_TRIS
+    valid = slot_tri >= 0
+    sel = slot_tri[valid].astype(np.int64)
+    tv0 = v0[sel].astype(np.float64)
+    te1 = e1[sel].astype(np.float64)
+    te2 = e2[sel].astype(np.float64)
+    n = np.cross(te2, te1)
+
+    cols = np.zeros((n_slots, 4, 10), np.float64)
+    cv = cols[valid]
+    # det
+    cv[:, 0, 0:3] = n
+    # u*det
+    cv[:, 1, 0:3] = -np.cross(te2, tv0)
+    cv[:, 1, 3:6] = te2
+    # v*det
+    cv[:, 2, 0:3] = -np.cross(tv0, te1)
+    cv[:, 2, 3:6] = -te1
+    # t*det
+    cv[:, 3, 6:9] = -n
+    cv[:, 3, 9] = (tv0 * n).sum(-1)
+    cols[valid] = cv
+
+    # (B, BT, 4, 10) -> (B, 10, 4*BT) with column layout [out*BT + slot]
+    blocks = cols.reshape(b, BLOCK_TRIS, 4, 10).transpose(0, 3, 2, 1)
+    return np.ascontiguousarray(
+        blocks.reshape(b, 10, 4 * BLOCK_TRIS)
+    ).astype(F)
 
 
 def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
@@ -67,7 +129,7 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
 
     `tri_geo` is the (T, >=9) f32 array of BVH-ordered triangles
     ([v0, e1, e2, ...] rows, the same ordering `bvh.tri_start` indexes).
-    Returned tri_id floats index into this same ordering.
+    Leaf-block slot ids index this same ordering.
     """
     n = bvh.num_nodes
     skip = bvh.skip.astype(np.int64)
@@ -90,17 +152,16 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
     def right(i):
         return int(skip[i + 1])
 
-    leaf_cap = min(int(leaf_cap), 31 * LEAF_ROW)
+    leaf_cap = min(int(leaf_cap), MAX_LEAF_BLOCKS * BLOCK_TRIS)
 
-    # --- Collapse ---------------------------------------------------------
-    node_slots: list[list] = []   # per wide node: list of (binary_idx,)
-    wide_children: list[list] = []
-    queue = []
+    queue: list[tuple[int, int]] = []
+    node_count = 0
 
     def new_wide(binary_idx: int) -> int:
-        node_slots.append(None)
-        queue.append((len(node_slots) - 1, binary_idx))
-        return len(node_slots) - 1
+        nonlocal node_count
+        queue.append((node_count, binary_idx))
+        node_count += 1
+        return node_count - 1
 
     leaves: list[tuple[int, int]] = []   # (tri_start, tri_count) per fat leaf
     wide_rows: list[list] = []           # slot descriptors per wide node
@@ -120,7 +181,6 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
             qi += 1
             cluster = [left(b), right(b)]
             while len(cluster) < WIDTH:
-                # expand the expandable element with the largest area
                 cand, cand_area = -1, -1.0
                 for k, e in enumerate(cluster):
                     if not is_fat_leaf(e) and area[e] > cand_area:
@@ -138,66 +198,69 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
                     slots.append((e, "inner", new_wide(e)))
             wide_rows.append(slots)
 
-    # --- Pack leaf triangle rows -------------------------------------------
-    leaf_row_start = np.zeros(len(leaves), np.int64)
-    leaf_n_rows = np.zeros(len(leaves), np.int64)
+    # --- Pack leaf triangle blocks -----------------------------------------
+    leaf_block_start = np.zeros(len(leaves), np.int64)
+    leaf_n_blocks = np.zeros(len(leaves), np.int64)
     cursor = 0
     for li, (s, c) in enumerate(leaves):
-        rows = (c + LEAF_ROW - 1) // LEAF_ROW
-        leaf_row_start[li] = cursor
-        leaf_n_rows[li] = rows
-        cursor += rows
-    total_rows = max(int(cursor), 1)
+        blocks = (c + BLOCK_TRIS - 1) // BLOCK_TRIS
+        leaf_block_start[li] = cursor
+        leaf_n_blocks[li] = blocks
+        cursor += blocks
+    total_blocks = max(int(cursor), 1)
 
-    # slot -> original (BVH-ordered) triangle index, -1 = padding
-    slot_tri = np.full(total_rows * LEAF_ROW, -1, np.int64)
+    slot_tri = np.full(total_blocks * BLOCK_TRIS, -1, np.int64)
     for li, (s, c) in enumerate(leaves):
-        base = leaf_row_start[li] * LEAF_ROW
-        slot_tri[base : base + c] = np.arange(s, s + c)
+        base = leaf_block_start[li] * BLOCK_TRIS
+        slot_tri[base: base + c] = np.arange(s, s + c)
 
     tg = np.asarray(tri_geo, F)
-    t_rows = np.zeros((total_rows * LEAF_ROW, 16), F)
-    valid = slot_tri >= 0
-    sel = slot_tri[valid]
-    t_rows[valid, 0:9] = tg[sel, 0:9]
-    t_rows[:, 9] = -1.0
-    t_rows[valid, 9] = sel.astype(F)
-    tri_rows = t_rows.reshape(total_rows, 128)
+    tri_blocks = pack_tri_blocks(
+        tg[:, 0:3], tg[:, 3:6], tg[:, 6:9], slot_tri
+    )
 
     # --- Pack inner nodes ---------------------------------------------------
     n_wide = max(len(wide_rows), 1)
     nodes = np.zeros((n_wide, WIDTH, 8), F)
-    nodes[:, :, 0:3] = 1e30    # empty slots: inverted bounds, never hit
+    # Empty slots carry finite placeholder bounds and are culled by the
+    # meta mask in the kernel. (NaN bounds would poison the MXU permutation
+    # transpose — 0 * NaN terms NaN the whole record; inverted finite
+    # bounds do not cull because the slab min/max normalises the interval.)
+    nodes[:, :, 0:3] = 1e30
     nodes[:, :, 3:6] = -1e30
     nodes[:, :, 6] = EMPTY_META
+    meta_i32 = np.full((n_wide, WIDTH), -1, np.int32)
     for wid, slots in enumerate(wide_rows):
         for si, (b, kind, ref) in enumerate(slots):
             nodes[wid, si, 0:3] = bvh.bounds_lo[b]
             nodes[wid, si, 3:6] = bvh.bounds_hi[b]
             if kind == "inner":
-                nodes[wid, si, 6] = float(ref)
+                meta_i32[wid, si] = ref
             else:
-                nodes[wid, si, 6] = _leaf_meta(
-                    int(leaf_row_start[ref]), int(leaf_n_rows[ref])
+                meta_i32[wid, si] = _leaf_meta(
+                    int(leaf_block_start[ref]), int(leaf_n_blocks[ref])
                 )
-    return WideBVH(nodes.reshape(n_wide, 128), tri_rows, len(tg))
+            nodes[wid, si, 6] = float(meta_i32[wid, si])
+    return WideBVH(nodes.reshape(n_wide, 128), tri_blocks,
+                   meta_i32.reshape(-1), slot_tri, len(tg))
 
 
 def validate_wide(w: WideBVH) -> None:
     """Structural invariants (tests)."""
     nodes = w.nodes.reshape(-1, WIDTH, 8)
-    meta = nodes[:, :, 6]
+    meta = w.meta.reshape(-1, WIDTH)
     inner = meta >= 0
     assert (meta[inner] < len(w.nodes)).all()
+    assert np.array_equal(nodes[:, :, 6], meta.astype(F))
     # every non-root inner node referenced exactly once
     refs = meta[inner].astype(np.int64)
     counts = np.bincount(refs, minlength=len(w.nodes))
     assert counts[0] == 0 and (counts[1:] == 1).all(), "tree must be a tree"
-    # every tri id present exactly once among leaf rows
-    tids = w.tri_rows.reshape(-1, 16)[:, 9]
-    tids = tids[tids >= 0].astype(np.int64)
+    # every tri present exactly once among leaf slots
+    tids = w.tri_of_slot[w.tri_of_slot >= 0]
     assert len(np.unique(tids)) == len(tids) == w.n_tris
     leaf = meta <= -2
     vals = (-meta[leaf] - 2).astype(np.int64)
-    rows, nrows = vals // 32, vals % 32
-    assert ((rows + nrows) <= len(w.tri_rows)).all() and (nrows > 0).all()
+    blocks, nblocks = vals // 32, vals % 32
+    assert ((blocks + nblocks) <= len(w.tri_blocks)).all()
+    assert (nblocks > 0).all()

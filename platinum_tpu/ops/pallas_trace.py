@@ -1,33 +1,33 @@
 """Pallas TPU packet traversal of the 16-wide BVH (accel.wide).
 
-This is the speed-of-light replacement for the pure-XLA lockstep walk in
-ops/traverse.py (which is gather-bound at ~1 ns/element on this backend) and
-for Metal's hardware `intersector` in the reference (kernel.metal:244-251,
-renderer_pt.cpp:244-294). Design, driven by the measured hardware profile:
+Speed-of-light replacement for the pure-XLA lockstep walk in
+ops/traverse.py (gather-bound at ~1 ns/element on this backend) and for
+Metal's hardware `intersector` in the reference (kernel.metal:244-251,
+renderer_pt.cpp:244-294). The design is driven by the measured v5e
+profile (~320 cycles for ANY serial load->compute->sync chain; ~115 each
+for four independent chains in one basic block; MXU matmul latency ~250):
 
-  * The whole BVH — inner nodes AND triangle rows — is VMEM-resident
-    (~128 MB VMEM on v5e; a 300k-tri scene packs to ~20 MB). Traversal
-    therefore never touches HBM: no gathers, no DMA latency.
-  * Rays are processed in 128-lane packets (one packet per grid step). The
-    packet shares one traversal stack (SMEM): a popped inner node tests all
-    16 children against all 128 rays as a dense (16, 128) VPU slab test; a
-    popped leaf row tests 8 triangles against all 128 rays as dense (8, 128)
-    Möller-Trumbore. Divergence costs the *union* of the packet's node
-    visits — primary rays are packetised along scanlines and bounce packets
-    inherit pixel locality, so the union stays small.
-  * Node/leaf records are lane-major (1, 128) rows in memory but compute
-    wants sublane-major columns; the MXU does the retile: one
-    (128, 128) 0/1 permutation matmul per record turns the row into a
-    (128, 1) column from which (16, 1)/(8, 1) component slices are static.
-    (Mosaic has no lane->sublane reshape; the MXU is the transpose engine.)
-  * Vector -> scalar control flow (which children were hit) is one
-    full-reduce per node: sum(anyhit * 2^k) -> 16-bit mask, consumed by a
-    branch-free scalar ctz loop off the shared stack. metadata floats ride
-    the same MXU transpose (plain-float encoding, exact to 2^24 — see
-    accel/wide.py).
+  * The whole BVH — inner nodes AND triangle blocks — is VMEM-resident
+    (~128 MB VMEM on v5e; a 300k-tri scene packs to ~80 MB). Traversal
+    never touches HBM: no gathers, no DMA latency.
+  * Rays are grouped into 128-lane packets; each kernel grid step runs
+    PACKETS of them concurrently through a shared superstep loop whose
+    phases batch independent work into single basic blocks (see
+    _make_kernel) — node expansions across packets, then scalar bit
+    walks, then leaf Möller-Trumbore in MT_DRAIN-wide batches so the
+    MXU matmuls pipeline.
+  * A packet pays the *union* of its rays' node visits, so waves are
+    pre-sorted by direction-octant + origin-Morton key (make_packet_tracer)
+    to keep bounce/shadow packets coherent.
+  * Per-triangle intersection runs on the MXU: all four MT scalars are
+    bilinear in per-ray features [d, o x d, o, 1], so one
+    (10,256)x(10,128) matmul intersects 64 triangles x 128 rays
+    (accel.wide.pack_tri_blocks).
+  * Child metadata lives in an SMEM table (pure scalar loads); vector ->
+    scalar mask syncs are packed two packets per int32 transfer.
 
 The brute tracer (ops/intersect.py) is the oracle; tests require matching
-closest hits. Layout/encoding contract is accel/wide.py's.
+closest hits and occlusion. Layout/encoding contract is accel/wide.py's.
 """
 
 from __future__ import annotations
@@ -45,41 +45,10 @@ from platinum_tpu.ops.intersect import INF, HitRecord
 DET_EPS = 1e-12
 LANES = 128
 MAX_STEPS = 1 << 22   # watchdog guard against malformed trees
-STACK = 64            # >= collapse depth (16-ary over binary SAH: ~8-12)
-
-
-# ---------------------------------------------------------------------------
-# Permutation matrices (MXU retile): row-major record -> column-major comps
-# ---------------------------------------------------------------------------
-
-@functools.lru_cache(maxsize=None)
-def _perm_node() -> np.ndarray:
-    """(128,128): node row lane c*8+j -> column row j*16+c (j comp, c child)."""
-    p = np.zeros((128, 128), np.float32)
-    for j in range(8):
-        for c in range(16):
-            p[j * 16 + c, c * 8 + j] = 1.0
-    return p
-
-
-@functools.lru_cache(maxsize=None)
-def _perm_tri() -> np.ndarray:
-    """(128,128): leaf row lane t*16+j -> column row j*8+t (j comp, t tri)."""
-    p = np.zeros((128, 128), np.float32)
-    for j in range(16):
-        for t in range(8):
-            p[j * 8 + t, t * 16 + j] = 1.0
-    return p
-
-
-def _transpose_rec(perm_ref, rec):
-    """(1,128) record -> (128,1) column via exact 0/1 MXU matmul."""
-    return jax.lax.dot_general(
-        perm_ref[:, :], rec,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+STACK = 256           # per-packet node-id stack: >= depth x hit-children/node
+PACKETS = 4           # interleaved 128-ray packets per kernel step
+LEAFQ = 64            # per-packet leaf-block queue capacity
+MT_DRAIN = 4          # leaf MT blocks intersected per drain batch
 
 
 def _ctz16(x):
@@ -94,47 +63,87 @@ def _ctz16(x):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(any_hit: bool):
-    # state scratch rows
-    S_T, S_TRI, S_U, S_V = 0, 1, 2, 3
+def _make_kernel(any_hit: bool, p_packets: int):
+    """Kernel over P interleaved 128-ray packets.
 
-    def kernel(rays_ref, nodes_ref, tris_ref, pn_ref, pt_ref,
+    Measured on v5e: any *serial* dependent chain through a load + compute
+    + vector->scalar sync costs ~320 cycles regardless of its size, while
+    4 *independent* chains in one basic block cost ~115 cycles each. The
+    superstep is therefore organised to maximise independent work per
+    basic block:
+
+      phase A: pop one node per packet; slab-test all P nodes' children
+               (P independent VPU chains; the masks sync pairwise-packed,
+               two 16-bit fields per int32 transfer);
+      phase B: pure-scalar branchless bit walks — inner children push to
+               the per-packet node stacks, leaf children enqueue their
+               64-triangle MT block indices;
+      phase C: drain the leaf queues four MXU blocks at a time, so the
+               matmuls pipeline instead of serialising one per loop
+               back-edge.
+
+    Nodes are consumed from a pre-transposed (N, 16, 8) layout (child x
+    component): static lane slices replace the per-node MXU permutation
+    transpose, keeping the expand chain MXU-free.
+    """
+    P = p_packets
+
+    def kernel(meta_ref, rays_ref, nodes_ref, tris_ref,
                t_ref, tri_ref, u_ref, v_ref,
-               state, stash, mstack, mtmp):
-        r = rays_ref[0, :, :]
-        ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
-        dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
-        tmin, tmax = r[6:7, :], r[7:8, :]
+               state, nstack, lqueue):
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (64, 1), 0).astype(jnp.float32)
+        # Exact powers of two (jnp.exp2 is approximate; a truncating cast
+        # of the mask sum then silently drops bit 0).
+        pow2 = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
 
-        def inv(v):
+        def invd(v):
             tiny = jnp.where(v < 0, -1e-20, 1e-20)
             return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
-        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        rp = []
+        for p in range(P):
+            r = rays_ref[0, p, :, :]
+            ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+            dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+            tmin, tmax = r[6:7, :], r[7:8, :]
+            feat = jnp.concatenate([
+                dx, dy, dz,
+                oy * dz - oz * dy,
+                oz * dx - ox * dz,
+                ox * dy - oy * dx,
+                ox, oy, oz,
+                jnp.ones((1, LANES), jnp.float32),
+            ], axis=0)
+            rp.append(dict(o=(ox, oy, oz), iv=(invd(dx), invd(dy), invd(dz)),
+                           tmin=tmin, tmax=tmax, feat=feat))
+            b = 4 * p
+            state[b:b + 1, :] = tmax
+            state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
+            state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
+            state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
+            nstack[p * STACK] = 0
 
-        state[S_T:S_T + 1, :] = tmax
-        state[S_TRI:S_TRI + 1, :] = jnp.full((1, LANES), -1.0)
-        state[S_U:S_U + 1, :] = jnp.zeros((1, LANES))
-        state[S_V:S_V + 1, :] = jnp.zeros((1, LANES))
-
-        # Exact powers of two: jnp.exp2 is an approximation (exp2(15) =
-        # 32767.998...) and the truncating float->int cast of the mask sum
-        # then silently drops bit 0. Integer shifts are exact.
-        pow2 = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
-
-        def expand(node_idx, sp):
-            """Slab-test node's 16 children; stash metas + push mask at sp.
-            Writes 1 to mtmp[0] iff something was pushed."""
-            rec = nodes_ref[pl.ds(node_idx, 1), :]
-            col = _transpose_rec(pn_ref, rec)          # (128, 1)
-            lox, loy, loz = col[0:16], col[16:32], col[32:48]
-            hix, hiy, hiz = col[48:64], col[64:80], col[80:96]
-            meta = col[96:112]                          # (16, 1)
-
-            best = state[S_T:S_T + 1, :]
+        def best_now(p):
+            b = 4 * p
+            best = state[b:b + 1, :]
             if any_hit:
-                alive = state[S_TRI:S_TRI + 1, :] < 0.0
-                best = jnp.where(alive, best, tmin - 1.0)
+                alive = state[b + 1:b + 2, :] < 0.0
+                best = jnp.where(alive, best, rp[p]["tmin"] - 1.0)
+            return best
+
+        def expand_vec(p, rec, best):
+            """Slab-test 16 children (rec: (16, 8) child-major record)
+            against packet p; returns the (16,1) hit bit-vector. Empty
+            slots are masked by the meta component (their placeholder
+            bounds do NOT cull: slab min/max normalises inverted
+            intervals)."""
+            ox, oy, oz = rp[p]["o"]
+            ix, iy, iz = rp[p]["iv"]
+            tmin = rp[p]["tmin"]
+            lox, loy, loz = rec[:, 0:1], rec[:, 1:2], rec[:, 2:3]
+            hix, hiy, hiz = rec[:, 3:4], rec[:, 4:5], rec[:, 5:6]
+            meta = rec[:, 6:7]
 
             t0x = (lox - ox) * ix
             t1x = (hix - ox) * ix
@@ -151,129 +160,170 @@ def _make_kernel(any_hit: bool):
                 jnp.maximum(t0z, t1z),
             )
             hit = (tnear <= tfar) & (tfar >= tmin) & (tnear <= best)
-            # Empty slots (meta == -1) are NOT culled by their inverted
-            # bounds: the slab min/max normalises the interval, so an
-            # inverted box covers everything. Mask them out explicitly.
             hit = hit & ((meta >= 0.0) | (meta <= -1.5))
-            anyc = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)
-            m = jnp.sum(anyc * pow2)
+            return jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True) * pow2
 
-            @pl.when(m != 0)
-            def _():
-                stash[pl.ds(sp * 16, 16), :] = meta
-                mstack[sp] = m
-                mtmp[0] = 1
+        def mt_block(p, block_idx, best0, commit):
+            """Möller-Trumbore via the MXU: one coefficient block = 64
+            triangles x 128 rays in one matmul (accel.wide has the
+            factorisation). Candidate culling uses best0 (superstep
+            snapshot) so the MT chains in a drain batch are independent;
+            commits are an exact min against the live state. `commit`
+            masks out queue-padding slots."""
+            b = 4 * p
+            tmin = rp[p]["tmin"]
+            blk = tris_ref[block_idx]                   # (10, 256)
+            out = jax.lax.dot_general(
+                blk, rp[p]["feat"],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (256, 128)
+            det = out[0:64, :]
+            udet = out[64:128, :]
+            vdet = out[128:192, :]
+            tdet = out[192:256, :]
 
-        def mt_row(row_idx):
-            """Möller-Trumbore: one 8-tri leaf row against all 128 rays."""
-            rec = tris_ref[pl.ds(row_idx, 1), :]
-            col = _transpose_rec(pt_ref, rec)           # (128, 1)
-            v0x, v0y, v0z = col[0:8], col[8:16], col[16:24]
-            e1x, e1y, e1z = col[24:32], col[32:40], col[40:48]
-            e2x, e2y, e2z = col[48:56], col[56:64], col[64:72]
-            tid = col[72:80]                            # (8, 1)
-
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-
-            best = state[S_T:S_T + 1, :]
-            if any_hit:
-                alive = state[S_TRI:S_TRI + 1, :] < 0.0
-                best = jnp.where(alive, best, tmin - 1.0)
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absdet = det * s
+            us, vs, ts = udet * s, vdet * s, tdet * s
             ok = (
-                (jnp.abs(det) > DET_EPS)
-                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > tmin) & (t < best)
-                & (tid >= 0.0)
+                (absdet > DET_EPS)
+                & (us >= 0.0) & (vs >= 0.0) & (us + vs <= absdet)
+                & (ts > tmin * absdet) & (ts < best0 * absdet)
             )
-            tp = jnp.where(ok, t, jnp.inf)
-            t8 = jnp.min(tp, axis=0, keepdims=True)      # (1, 128)
-            found = t8 < best
-            sel = (tp == t8) & found                      # may tie: pick min tid
+            t64 = jnp.where(ok, ts / jnp.maximum(absdet, 1e-37), jnp.inf)
+            tb = jnp.min(t64, axis=0, keepdims=True)     # (1, 128)
+            found = (tb < state[b:b + 1, :]) & commit
+            sel = (t64 == tb) & found                    # ties: min slot
             big = jnp.float32(3e38)
-            tid_s = jnp.min(jnp.where(sel, tid, big), axis=0, keepdims=True)
-            sel = sel & (tid == tid_s)                    # unique winner
-            u_s = jnp.max(jnp.where(sel, u, -big), axis=0, keepdims=True)
-            v_s = jnp.max(jnp.where(sel, v, -big), axis=0, keepdims=True)
-
-            state[S_T:S_T + 1, :] = jnp.where(found, t8, state[S_T:S_T + 1, :])
-            state[S_TRI:S_TRI + 1, :] = jnp.where(
-                found, tid_s, state[S_TRI:S_TRI + 1, :]
+            slot = jnp.min(jnp.where(sel, slot_iota, big), axis=0,
+                           keepdims=True)
+            sel = sel & (slot_iota == slot)              # unique winner
+            iad = 1.0 / jnp.maximum(
+                jnp.max(jnp.where(sel, absdet, 0.0), axis=0, keepdims=True),
+                1e-37,
             )
-            state[S_U:S_U + 1, :] = jnp.where(found, u_s, state[S_U:S_U + 1, :])
-            state[S_V:S_V + 1, :] = jnp.where(found, v_s, state[S_V:S_V + 1, :])
+            u_s = jnp.max(jnp.where(sel, us, -big), axis=0,
+                          keepdims=True) * iad
+            v_s = jnp.max(jnp.where(sel, vs, -big), axis=0,
+                          keepdims=True) * iad
+            sid = jnp.asarray(block_idx, jnp.float32) * 64.0 + slot
 
-        # Root (python-int indices: constant-index pl.ds loads miscompile on
-        # this toolchain; static slices and genuinely-traced scalars are fine)
-        mtmp[0] = 0
-        expand(0, 0)
-        sp0 = mtmp[0]
+            state[b:b + 1, :] = jnp.where(found, tb, state[b:b + 1, :])
+            state[b + 1:b + 2, :] = jnp.where(found, sid,
+                                              state[b + 1:b + 2, :])
+            state[b + 2:b + 3, :] = jnp.where(found, u_s,
+                                              state[b + 2:b + 3, :])
+            state[b + 3:b + 4, :] = jnp.where(found, v_s,
+                                              state[b + 3:b + 4, :])
 
         def cond(carry):
-            sp, it, alive = carry
-            live = (sp > 0) & (it < MAX_STEPS)
+            sps, it, alive = carry[:P], carry[P], carry[P + 1]
+            live = sps[0] > 0
+            for p in range(1, P):
+                live = live | (sps[p] > 0)
+            live = live & (it < MAX_STEPS)
             if any_hit:
                 live = live & (alive > 0)
             return live
 
         def body(carry):
-            sp, it, _ = carry
-            mask = mstack[sp - 1]
-            lsb = mask & (-mask)
-            c = _ctz16(lsb)
-            newmask = mask ^ lsb
-            mstack[sp - 1] = newmask
-            # Vector load + full reduce, NOT a scalar load: Mosaic does not
-            # order scalar-unit loads against the vector-unit stores that
-            # filled the stash (observed as nondeterministic stale reads).
-            meta_c = jnp.sum(stash[pl.ds((sp - 1) * 16 + c, 1), :])
-            sp = sp - jnp.where(newmask == 0, 1, 0)
-            is_inner = meta_c >= 0.0
+            sps, it = carry[:P], carry[P]
+            # --- Phase A: pop + slab-test one node per packet -------------
+            nps, sp2, bests, vecs = [], [], [], []
+            for p in range(P):
+                sp = sps[p]
+                has = sp > 0
+                n = nstack[p * STACK + jnp.maximum(sp - 1, 0)]
+                nps.append(n)
+                sp2.append(sp - jnp.where(has, 1, 0))
+                bests.append(best_now(p))
+                rec = nodes_ref[jnp.where(has, n, 0)]    # (16, 8)
+                vecs.append(jnp.where(has, expand_vec(p, rec, bests[-1]), 0))
+            ms = []
+            for q in range(0, P, 2):
+                if q + 1 < P:
+                    both = jnp.sum(vecs[q] + (vecs[q + 1] << 16))
+                    ms.append(both & 0xFFFF)
+                    ms.append((both >> 16) & 0xFFFF)
+                else:
+                    ms.append(jnp.sum(vecs[q]))
 
-            mtmp[0] = 0
+            # --- Phase B: scalar bit walks (push nodes, enqueue leaves) ---
+            sp3, lqs = [], []
+            for p in range(P):
+                n = nps[p]
 
-            @pl.when(is_inner)
-            def _():
-                expand(meta_c.astype(jnp.int32), sp)
+                def bit_cond(c2):
+                    return c2[0] != 0
 
-            @pl.when(jnp.logical_not(is_inner))
-            def _():
-                val = (-meta_c - 2.0).astype(jnp.int32)
-                row0 = val >> 5
-                nrows = val & 31
+                def bit_body(c2, p=p, n=n):
+                    m, spx, lqx = c2
+                    lsb = m & (-m)
+                    c = _ctz16(lsb)
+                    m = m ^ lsb
+                    meta_c = meta_ref[n * 16 + c]
+                    inner = meta_c >= 0
+                    # branchless push: non-inner writes go to a spare slot
+                    nstack[p * STACK
+                           + jnp.where(inner, spx, STACK - 1)] = meta_c
+                    spx = spx + jnp.where(inner, 1, 0)
+                    val = -meta_c - 2
+                    nb = jnp.where(meta_c <= -2, val & 31, 0)
+                    b0 = val >> 5
 
-                def leaf_body(k, _):
-                    mt_row(row0 + k)
-                    return 0
+                    def pushleaf(k, lqv):
+                        lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = (
+                            b0 + k)
+                        return lqv + 1
 
-                jax.lax.fori_loop(0, nrows, leaf_body, 0)
+                    lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
+                    return m, spx, jnp.minimum(lqx, LEAFQ)
 
-            sp = sp + mtmp[0]
+                _, spf, lqf = jax.lax.while_loop(
+                    bit_cond, bit_body, (ms[p], sp2[p], jnp.int32(0)))
+                sp3.append(spf)
+                lqs.append(lqf)
+
+            # --- Phase C: drain leaf queues, MT_DRAIN blocks per batch ----
+            for p in range(P):
+                def drain_cond(c3):
+                    return c3[0] > 0
+
+                def drain_body(c3, p=p, best0=bests[p]):
+                    q = c3[0]
+                    for j in range(MT_DRAIN):
+                        valid = j < q
+                        bidx = lqueue[p * LEAFQ + jnp.maximum(q - 1 - j, 0)]
+                        mt_block(p, jnp.where(valid, bidx, 0), best0,
+                                 jnp.broadcast_to(valid, (1, LANES)))
+                    return (jnp.maximum(q - MT_DRAIN, 0),)
+
+                jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
+
             if any_hit:
-                alive = jnp.sum(
-                    ((state[S_TRI:S_TRI + 1, :] < 0.0) & (tmax >= tmin))
-                    .astype(jnp.float32)
-                ).astype(jnp.int32)
+                acc = jnp.zeros((1, LANES), jnp.float32)
+                for p in range(P):
+                    lane_ok = ((state[4 * p + 1:4 * p + 2, :] < 0.0)
+                               & (rp[p]["tmax"] >= rp[p]["tmin"]))
+                    acc = acc + lane_ok.astype(jnp.float32)
+                alive = jnp.sum(acc).astype(jnp.int32)
             else:
                 alive = jnp.int32(1)
-            return sp, it + 1, alive
+            return (*sp3, it + 1, alive)
 
-        jax.lax.while_loop(cond, body, (sp0, jnp.int32(0), jnp.int32(1)))
+        init = tuple(jnp.int32(1) for _ in range(P)) + (jnp.int32(0),
+                                                        jnp.int32(1))
+        jax.lax.while_loop(cond, body, init)
 
-        t_ref[0, :, :] = state[S_T:S_T + 1, :]
-        tri_ref[0, :, :] = state[S_TRI:S_TRI + 1, :].astype(jnp.int32)
-        u_ref[0, :, :] = state[S_U:S_U + 1, :]
-        v_ref[0, :, :] = state[S_V:S_V + 1, :]
+        for p in range(P):
+            b = 4 * p
+            t_ref[0, p, :] = state[b:b + 1, :].reshape(LANES)
+            tri_ref[0, p, :] = state[b + 1:b + 2, :].reshape(LANES).astype(
+                jnp.int32)
+            u_ref[0, p, :] = state[b + 2:b + 3, :].reshape(LANES)
+            v_ref[0, p, :] = state[b + 3:b + 4, :].reshape(LANES)
 
     return kernel
 
@@ -281,43 +331,42 @@ def _make_kernel(any_hit: bool):
 @functools.lru_cache(maxsize=None)
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 interpret: bool):
-    kernel = _make_kernel(any_hit)
+    kernel = _make_kernel(any_hit, PACKETS)
     grid_spec = pl.GridSpec(
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # child meta table
+            pl.BlockSpec((1, PACKETS, 8, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (whole array)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri rows
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # node perm
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri perm
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (N,16,8)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri coeff blocks
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, LANES), jnp.float32),          # hit state
-            pltpu.VMEM((STACK * 16, 1), jnp.float32),     # meta stash
-            pltpu.SMEM((STACK,), jnp.int32),              # child-mask stack
-            pltpu.SMEM((1,), jnp.int32),                  # push flag
+            pltpu.VMEM((4 * PACKETS, LANES), jnp.float32),  # hit states
+            pltpu.SMEM((PACKETS * STACK,), jnp.int32),      # node stacks
+            pltpu.SMEM((PACKETS * LEAFQ,), jnp.int32),      # leaf queues
         ],
     )
-    vmem_bytes = (n_nodes + n_rows) * LANES * 4 + (4 << 20)
+    # resident structure (nodes pad to 16x128 lanes) + pipeline headroom
+    vmem_bytes = (16 * n_nodes + 20 * n_rows) * LANES * 4 + (48 << 20)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, 1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((g, 1, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 128 << 20),
@@ -326,11 +375,44 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
     )
 
 
+def _part1by2(x):
+    """Spread 10 bits of x so there are two zero bits between each."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _ray_sort_key(o, d, lo, inv_extent):
+    """Direction-octant (high bits) + 21-bit Morton code of the origin.
+
+    Sorting ray waves by this key before packetising restores packet
+    coherence for bounce/shadow rays (the packet pays the union of its
+    rays' node visits, so incoherent packets are the main throughput
+    loss at scale)."""
+    q = jnp.clip((o - lo) * inv_extent, 0.0, 1.0)
+    qi = (q * 127.0).astype(jnp.int32)
+    morton = (
+        _part1by2(qi[:, 0])
+        | (_part1by2(qi[:, 1]) << 1)
+        | (_part1by2(qi[:, 2]) << 2)
+    )
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32)
+        + 2 * (d[:, 1] < 0).astype(jnp.int32)
+        + 4 * (d[:, 2] < 0).astype(jnp.int32)
+    )
+    return (octant << 21) | morton
+
+
 def _pack_rays(o, d, tmin, tmax, active):
-    """(R,3) rays -> (G, 8, 128) packets; dead/padding lanes get tmax<tmin."""
+    """(R,3) rays -> (G, PACKETS, 8, 128) packet groups; dead/padding lanes
+    get tmax < tmin."""
     r = o.shape[0]
-    g = -(-r // LANES)
-    pad = g * LANES - r
+    g = -(-r // (PACKETS * LANES))
+    pad = g * PACKETS * LANES - r
     tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
     if active is not None:
@@ -339,38 +421,81 @@ def _pack_rays(o, d, tmin, tmax, active):
     def comp(x):
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
-        return x.reshape(g, LANES)
+        return x.reshape(g, PACKETS, LANES)
 
     parts = [comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2]),
              comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])]
     if pad:
         tmin = jnp.concatenate([tmin, jnp.zeros((pad,))])
         tmax = jnp.concatenate([tmax, jnp.full((pad,), -1.0)])
-    parts += [tmin.reshape(g, LANES), tmax.reshape(g, LANES)]
-    return jnp.stack(parts, axis=1), r, g
+    parts += [tmin.reshape(g, PACKETS, LANES),
+              tmax.reshape(g, PACKETS, LANES)]
+    return jnp.stack(parts, axis=2), r, g
 
 
-def make_packet_tracer(wnodes, wtris, interpret: bool | None = None):
+def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
+                       interpret: bool | None = None,
+                       sort: bool | None = None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
-    wnodes: (N, 128) f32 inner-node rows; wtris: (L, 128) f32 leaf rows
-    (see accel.wide). `interpret` forces Pallas interpreter mode (set
-    automatically when running on CPU, e.g. the virtual-mesh dry run).
+    wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 128) f32 MT
+    coefficient blocks; wmeta: (N*16,) i32 child-meta table (SMEM-resident
+    during traversal); wslot: (B*32,) i32 slot -> triangle-id map (None if
+    slot ids already equal triangle ids). See accel.wide. `interpret`
+    forces Pallas interpreter mode (set automatically when running on CPU,
+    e.g. the virtual-mesh dry run). `sort` reorders each ray wave by
+    octant+Morton key before packetising (defaults on for non-trivial
+    scenes; measured ~3 ms per 262k-ray wave vs >100 ms saved on
+    incoherent bounce waves).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
-    pn = jnp.asarray(_perm_node())
-    pt = jnp.asarray(_perm_tri())
+    wmeta = jnp.asarray(wmeta, jnp.int32)
+    if wslot is not None:
+        wslot = jnp.asarray(wslot, jnp.int32)
     n_nodes, n_rows = wnodes.shape[0], wtris.shape[0]
+    wnodes_t = wnodes.reshape(n_nodes, 16, 8)
+    if sort is None:
+        sort = n_nodes > 64
+
+    # Scene bounds for the Morton key, from the root's child slots.
+    # jnp ops only: the tracer may be built inside a jit trace where
+    # wnodes is a tracer.
+    root = wnodes[0].reshape(16, 8)
+    valid = root[:, 6:7] != -1.0
+    scene_lo = jnp.min(jnp.where(valid, root[:, 0:3], 1e30), axis=0)
+    scene_hi = jnp.max(jnp.where(valid, root[:, 3:6], -1e30), axis=0)
+    inv_extent = 1.0 / jnp.clip(scene_hi - scene_lo, 1e-12, 1e30)
 
     def _run(o, d, tmin, tmax, active, any_hit):
+        r = o.shape[0]
+        perm = None
+        if sort and r >= 2 * PACKETS * LANES:
+            key = _ray_sort_key(o, d, scene_lo, inv_extent)
+            if active is not None:
+                # dead rays to the back: all-dead packets exit at the root
+                key = jnp.where(active, key, jnp.int32(1 << 30))
+            perm = jnp.argsort(key)
+            o, d = o[perm], d[perm]
+            tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))[perm]
+            tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))[perm]
+            if active is not None:
+                active = active[perm]
         rays, r, g = _pack_rays(o, d, tmin, tmax, active)
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret)
-        t, tri, u, v = call(rays, wnodes, wtris, pn, pt)
-        flat = lambda x: x.reshape(g * LANES)[:r]
+        t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
+        flat = lambda x: x.reshape(g * PACKETS * LANES)[:r]
         t, tri, u, v = flat(t), flat(tri), flat(u), flat(v)
+        if perm is not None:
+            packed = jnp.stack([t, tri.astype(jnp.float32), u, v], axis=-1)
+            unsorted = jnp.zeros_like(packed).at[perm].set(packed)
+            t, u, v = unsorted[:, 0], unsorted[:, 2], unsorted[:, 3]
+            tri = unsorted[:, 1].astype(jnp.int32)
+        if wslot is not None and not any_hit:
+            # kernel reports slot ids; map to triangle ids
+            tri = jnp.where(tri >= 0, wslot[jnp.maximum(tri, 0)], -1)
         hit = tri >= 0
         return HitRecord(
             t=jnp.where(hit, t, INF),

@@ -430,7 +430,10 @@ def flatten_scene(
         wide = build_wide_bvh(bvh_host, tri_geo,
                               leaf_cap=settings.wide_leaf_cap)
         bvh_arrays["wbvh_nodes"] = jnp.asarray(wide.nodes)
-        bvh_arrays["wbvh_tris"] = jnp.asarray(wide.tri_rows)
+        bvh_arrays["wbvh_tris"] = jnp.asarray(wide.tri_blocks)
+        bvh_arrays["wbvh_meta"] = jnp.asarray(wide.meta)
+        bvh_arrays["wbvh_slot"] = jnp.asarray(
+            wide.tri_of_slot.astype(np.int32))
 
     flat = FlatScene(
         geometry=Geometry(

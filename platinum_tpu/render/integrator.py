@@ -41,7 +41,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     if settings.tracer in ("packet", "auto") and flat.wbvh_nodes is not None:
         from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
-        return make_packet_tracer(flat.wbvh_nodes, flat.wbvh_tris)
+        return make_packet_tracer(flat.wbvh_nodes, flat.wbvh_tris,
+                                  flat.wbvh_meta, flat.wbvh_slot)
     if settings.tracer in ("bvh", "auto") and flat.bvh_skip is not None:
         from platinum_tpu.ops.traverse import make_bvh_tracer
 

@@ -150,9 +150,12 @@ class FlatScene:
     # tri_start(bitcast), tri_count(bitcast)] — traversal reads one row/step
     bvh_nodes: jnp.ndarray | None = None      # (N, 12) f32 (ints bitcast)
     # 16-wide VMEM-resident BVH for the Pallas packet tracer (accel.wide):
-    # (N, 128) inner-node rows + (L, 128) 8-triangle leaf rows
+    # (N, 128) inner-node rows + (L, 128) 8-triangle leaf rows + (N*16,)
+    # i32 child-meta table (SMEM-resident during traversal)
     wbvh_nodes: jnp.ndarray | None = None
     wbvh_tris: jnp.ndarray | None = None
+    wbvh_meta: jnp.ndarray | None = None
+    wbvh_slot: jnp.ndarray | None = None
     # Texture atlas (None = no textures in scene)
     atlas: jnp.ndarray | None = None          # (AH, AW, 4) f32
     atlas_table: jnp.ndarray | None = None    # (K, 4) i32: x, y, w, h
@@ -178,7 +181,7 @@ class RenderSettings:
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh" | "packet"
     accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
-    wide_leaf_cap: int = 16        # fat-leaf cap for the 16-wide packet BVH
+    wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property

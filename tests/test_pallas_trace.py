@@ -56,7 +56,7 @@ def test_wide_bvh_structure():
 def test_packet_matches_brute(leaf_cap):
     v0, v1, v2 = _random_soup()
     wide, geom = _build(v0, v1, v2, leaf_cap=leaf_cap)
-    tc, ta = make_packet_tracer(wide.nodes, wide.tri_rows)
+    tc, ta = make_packet_tracer(wide.nodes, wide.tri_blocks, wide.meta, wide.tri_of_slot)
     bc, ba = make_brute_tracer(geom)
 
     rng = np.random.default_rng(7)
@@ -91,7 +91,7 @@ def test_packet_matches_brute(leaf_cap):
 def test_packet_active_mask_and_determinism():
     v0, v1, v2 = _random_soup(seed=11)
     wide, geom = _build(v0, v1, v2)
-    tc, ta = make_packet_tracer(wide.nodes, wide.tri_rows)
+    tc, ta = make_packet_tracer(wide.nodes, wide.tri_blocks, wide.meta, wide.tri_of_slot)
     rng = np.random.default_rng(5)
     r = 512
     o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
@@ -133,4 +133,8 @@ def test_packet_end_to_end_matches_brute_render():
                                                 features=features))
         imgs[tracer] = np.asarray(f(flat, jnp.int32(0)))
     assert np.isfinite(imgs["packet"]).all()
-    np.testing.assert_array_equal(imgs["brute"], imgs["packet"])
+    # Same hits, same paths; t/u/v arithmetic differs slightly (the packet
+    # tracer computes MT via the MXU coefficient factorisation), so allow
+    # tiny float drift rather than bit equality.
+    np.testing.assert_allclose(imgs["brute"], imgs["packet"],
+                               rtol=2e-3, atol=2e-3)
