@@ -96,7 +96,7 @@ def cmd_render(args):
         kernel=args.kernel, sampler=args.sampler, flags=flags,
         gmon_buckets=max(1, args.gmon), gmon_cap=args.gmon_cap,
         working_space=args.working_space, output_space=args.output_space,
-        tracer=args.tracer,
+        tracer=args.tracer, compact=getattr(args, "compact", False),
     )
     post = PostProcessOptions(
         exposure=ExposureOptions(exposure=args.exposure),
@@ -111,9 +111,22 @@ def cmd_render(args):
     renderer.start_render(cam_id, settings)
     t0 = time.perf_counter()
     last = t0
+    watch_every = max(0, getattr(args, "watch", 0))
+    next_watch = watch_every
     while not (renderer.status & RenderStatus.DONE):
         renderer.render()
         now = time.perf_counter()
+        # Progressive preview: rewrite the output as it refines (the
+        # reference's per-frame viewport blit, renderer_pt.cpp:131-158 —
+        # point an image viewer at the file and watch it converge)
+        if watch_every and renderer.completed_spp >= next_watch:
+            if args.output.endswith(".exr"):
+                renderer.export_exr(args.output)
+            else:
+                renderer.export_png(args.output)
+            print(f"  watch: {renderer.completed_spp} spp -> {args.output}",
+                  file=sys.stderr)
+            next_watch += watch_every
         if args.progress and now - last > 2.0:
             print(f"  {renderer.render_progress*100:5.1f}%  "
                   f"{now - t0:6.1f}s", file=sys.stderr)
@@ -181,7 +194,12 @@ def build_parser():
     r.add_argument("--camera", type=int, default=-1, help="camera node id")
     r.add_argument("--kernel", choices=["simple", "mis"], default="mis")
     r.add_argument("--sampler", choices=["halton", "pcg4d", "z"], default="halton")
-    r.add_argument("--tracer", choices=["auto", "brute", "bvh"], default="auto")
+    r.add_argument("--tracer", choices=["auto", "brute", "bvh", "packet"],
+                   default="auto")
+    r.add_argument("--compact", action="store_true",
+                   help="wavefront population-control compaction")
+    r.add_argument("--watch", metavar="N", type=int, default=0,
+                   help="progressive preview: rewrite the output every N spp")
     r.add_argument("--no-multiscatter", action="store_true")
     r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
     r.add_argument("--gmon-cap", type=float, default=1.0)

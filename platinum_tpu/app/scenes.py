@@ -153,3 +153,119 @@ def make_colonnade_scene(columns: int = 12, rows: int = 6,
     cam_node.camera.focus_distance = float(np.linalg.norm(cam_pos - target))
     cam_node.transform = Transform(translation=cam_pos, target=target, track=True)
     return scene, cam_node.id
+
+
+def make_spheres_scene(grid: int = 7) -> tuple:
+    """MetalRoughSpheres-class benchmark scene (BASELINE.md #2): a grid of
+    spheres sweeping roughness x metallic over the full GGX BSDF, with a
+    procedural tangent-space normal map on the ground plane to exercise the
+    normal-mapping path (the glTF sample asset itself cannot be downloaded
+    in this sandbox; geometry/material coverage is matched).
+    """
+    from platinum_tpu.core.material import TextureSlot
+    from platinum_tpu.core.texture import Texture, TextureFormat
+
+    scene = Scene()
+    sph_id = scene.add_asset(
+        primitives.sphere(1.0, lat=28, lng=40), retained=True)
+    plane_id = scene.add_asset(primitives.plane(1.0))
+
+    # bumpy procedural normal map
+    k = 128
+    yy, xx = np.mgrid[0:k, 0:k].astype(np.float32) / k
+    nx = 0.35 * np.sin(xx * 40.0)
+    ny = 0.35 * np.cos(yy * 40.0)
+    nz = np.sqrt(np.maximum(1.0 - nx * nx - ny * ny, 0.0))
+    nm = np.stack([nx, ny, nz], -1) * 0.5 + 0.5
+    nm4 = np.concatenate([nm, np.ones((k, k, 1), np.float32)], -1)
+    nm_id = scene.add_asset(Texture(data=(nm4 * 255).astype(np.uint8),
+                                    format=TextureFormat.LINEAR_RGBA,
+                                    name="bump"))
+
+    ground = scene.create_node("ground")
+    scene.set_mesh(ground.id, plane_id)
+    span = grid * 2.6
+    ground.transform = Transform(translation=[0, -1.2, 0],
+                                 scale=[span, 1.0, span])
+    gmat = Material(name="ground", base_color=(0.5, 0.5, 0.55, 1),
+                    roughness=0.35,
+                    textures={TextureSlot.NORMAL: nm_id})
+    scene.set_material(ground.id, 0, scene.add_asset(gmat))
+
+    for i in range(grid):
+        for j in range(grid):
+            node = scene.create_node(f"s_{i}_{j}")
+            scene.set_mesh(node.id, sph_id)
+            x = (i - grid / 2 + 0.5) * 2.6
+            z = (j - grid / 2 + 0.5) * 2.6
+            node.transform = Transform(translation=[x, 0.0, z])
+            mat = Material(
+                name=f"m_{i}_{j}",
+                base_color=(0.9, 0.35, 0.2, 1.0),
+                roughness=i / max(grid - 1, 1),
+                metallic=j / max(grid - 1, 1),
+            )
+            scene.set_material(node.id, 0, scene.add_asset(mat))
+
+    scene.environment.constant_color = (0.8, 0.85, 0.95)
+
+    cam_node = scene.create_node("camera")
+    cam_node.camera = Camera.with_focal_length(40.0)
+    pos = np.array([0.0, grid * 1.6, grid * 2.2])
+    target = np.array([0.0, -0.5, 0.0])
+    cam_node.camera.focus_distance = float(np.linalg.norm(pos - target))
+    cam_node.transform = Transform(translation=pos, target=target, track=True)
+    return scene, cam_node.id
+
+
+def make_helmet_scene() -> tuple:
+    """DamagedHelmet-class benchmark scene (BASELINE.md #3): a dense curved
+    hero object (clearcoated metal dome over a brushed base) under an HDR
+    environment with a small very bright sun — stresses environment-map
+    importance sampling + MIS at 1080p. Stand-in for the glTF sample asset
+    (no external downloads in this sandbox)."""
+    scene = Scene()
+
+    dome_id = scene.add_asset(primitives.sphere(1.0, lat=96, lng=144))
+    base_id = scene.add_asset(primitives.cube(1.0))
+
+    dome = scene.create_node("dome")
+    scene.set_mesh(dome.id, dome_id)
+    dome.transform = Transform(translation=[0, 0.4, 0],
+                               scale=[1.2, 1.0, 1.2])
+    scene.set_material(dome.id, 0, scene.add_asset(Material(
+        name="helmet", base_color=(0.35, 0.33, 0.3, 1), metallic=1.0,
+        roughness=0.35, clearcoat=1.0, clearcoat_roughness=0.12,
+    )))
+
+    base = scene.create_node("base")
+    scene.set_mesh(base.id, base_id)
+    base.transform = Transform(translation=[0, -0.75, 0],
+                               scale=[3.5, 0.3, 3.5])
+    scene.set_material(base.id, 0, scene.add_asset(Material(
+        name="base", base_color=(0.2, 0.2, 0.22, 1), roughness=0.25,
+        metallic=0.8, anisotropy=0.8,
+    )))
+
+    # HDR-style environment: sky gradient + ground + small 500x sun
+    h, w = 128, 256
+    yy = (np.arange(h, dtype=np.float32) + 0.5) / h        # 0 top .. 1 bottom
+    xx = (np.arange(w, dtype=np.float32) + 0.5) / w
+    sky = np.zeros((h, w, 3), np.float32)
+    sky[:] = np.stack([
+        np.interp(yy, [0, 0.5, 1], [0.15, 0.5, 0.08]),
+        np.interp(yy, [0, 0.5, 1], [0.25, 0.6, 0.07]),
+        np.interp(yy, [0, 0.5, 1], [0.6, 0.8, 0.06]),
+    ], -1)[:, None, :]
+    cy, cx = int(0.25 * h), int(0.7 * w)
+    sky[cy - 2:cy + 2, cx - 2:cx + 2] = (500.0, 480.0, 450.0)
+    scene.environment.set_texture(None, sky)
+    scene.environment.strength = 1.0
+
+    cam_node = scene.create_node("camera")
+    cam_node.camera = Camera.with_focal_length(60.0)
+    pos = np.array([2.6, 1.4, 2.6])
+    target = np.array([0.0, 0.2, 0.0])
+    cam_node.camera.focus_distance = float(np.linalg.norm(pos - target))
+    cam_node.transform = Transform(translation=pos, target=target, track=True)
+    return scene, cam_node.id

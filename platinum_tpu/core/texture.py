@@ -69,6 +69,29 @@ class Texture:
             f = np.concatenate([rgb, f[:, :, 3:4]], axis=2)
         return np.ascontiguousarray(f, dtype=np.float32)
 
+    def as_u8_rgba(self):
+        """(u8 (H, W, 4), srgb: bool) in STORAGE encoding — the atlas keeps
+        8-bit texels (4 B/texel instead of 16) and the shader decodes after
+        each bilinear tap (decode-then-filter, same math the reference gets
+        from Metal's sRGB samplers — texture.cpp:30-48 stores R8/RG8/RGBA8).
+        Returns None when the source is float (HDR) and needs the f32 atlas.
+        """
+        d = self.data
+        if d.dtype != np.uint8:
+            return None
+        if d.ndim == 2:
+            d = d[:, :, None]
+        h, w, c = d.shape
+        if c < 4:
+            if c == 1:
+                d = np.repeat(d, 3, axis=2)
+            elif c == 2:
+                d = np.concatenate([d, np.zeros((h, w, 1), np.uint8)], axis=2)
+            pad = np.full((h, w, 4 - d.shape[2]), 255, np.uint8)
+            d = np.concatenate([d, pad], axis=2)
+        return (np.ascontiguousarray(d[:, :, :4]),
+                self.format == TextureFormat.SRGB_RGBA)
+
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
     c = np.asarray(c, dtype=np.float32)

@@ -95,7 +95,7 @@ class ShadingContext:
 
 def make_shading_context(
     materials: MaterialTable, mat_idx: jnp.ndarray, uv: jnp.ndarray,
-    atlas=None, atlas_table=None,
+    atlas=None, atlas_table=None, slots=None,
 ) -> ShadingContext:
     """Gather material parameters per ray; apply texture lookups when an
     atlas is present."""
@@ -132,7 +132,8 @@ def make_shading_context(
         from platinum_tpu.ops.texturing import sample_material_textures
 
         tex_rows = lookup.rows(materials.textures, mat_idx)
-        tex = sample_material_textures(atlas, atlas_table, tex_rows, uv)
+        tex = sample_material_textures(atlas, atlas_table, tex_rows, uv,
+                                       slots=slots)
         albedo = jnp.where(tex.has_base[:, None], tex.base_rgb, albedo)
         emission = emission * jnp.where(
             tex.has_emission[:, None], tex.emission_rgb, 1.0
@@ -294,7 +295,9 @@ def _aniso_rotation(ctx):
 
 ALL_FEATURES = frozenset(
     {"metallic", "transparent", "clearcoat", "smooth", "aniso", "thin",
-     "tex_rough", "env", "area_lights"}
+     "tex_rough", "env", "area_lights", "alpha"}
+    # every texture slot enabled (flatten.analyze_features prunes these)
+    | {f"texslot{k}" for k in range(6)}
 )
 
 

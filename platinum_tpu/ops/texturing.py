@@ -19,16 +19,26 @@ import jax.numpy as jnp
 from platinum_tpu.core.material import TextureSlot
 
 
+def _srgb_to_linear(c):
+    return jnp.where(c <= 0.04045, c / 12.92,
+                     ((c + 0.055) / 1.055) ** 2.4)
+
+
 def sample_atlas(atlas: jnp.ndarray, entry: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear, repeat-wrapped sample.
 
-    atlas: (AH, AW, 4); entry: (R, 4) int32 (x, y, w, h); uv: (R, 2).
-    Returns (R, 4). Entries with w == 0 return zeros.
+    atlas: (AH, AW, 4) f32 (linear) or u8 (storage encoding); entry:
+    (R, 5) int32 (x, y, w, h, srgb_flag); uv: (R, 2). Returns (R, 4)
+    linear. u8 taps decode AFTER the gather and BEFORE the bilinear blend
+    (decode-then-filter, like hardware sRGB samplers). Entries with
+    w == 0 return zeros.
     """
     x0e = entry[..., 0].astype(jnp.float32)
     y0e = entry[..., 1].astype(jnp.float32)
     w = jnp.maximum(entry[..., 2].astype(jnp.float32), 1.0)
     h = jnp.maximum(entry[..., 3].astype(jnp.float32), 1.0)
+    is_u8 = atlas.dtype == jnp.uint8
+    srgb = (entry[..., 4] == 1)[..., None] if entry.shape[-1] > 4 else False
 
     u = uv[..., 0] * w - 0.5
     v = uv[..., 1] * h - 0.5
@@ -42,7 +52,12 @@ def sample_atlas(atlas: jnp.ndarray, entry: jnp.ndarray, uv: jnp.ndarray) -> jnp
         vi = jnp.mod(vi, h)
         xi = (x0e + ui).astype(jnp.int32)
         yi = (y0e + vi).astype(jnp.int32)
-        return atlas[yi, xi]
+        t = atlas[yi, xi]
+        if not is_u8:
+            return t
+        f = t.astype(jnp.float32) * (1.0 / 255.0)
+        rgb = jnp.where(srgb, _srgb_to_linear(f[..., :3]), f[..., :3])
+        return jnp.concatenate([rgb, f[..., 3:4]], axis=-1)
 
     c00 = texel(uf, vf)
     c10 = texel(uf + 1, vf)
@@ -78,19 +93,25 @@ def _entry(atlas_table, tex_ids, slot):
 
 
 def sample_material_textures(atlas, atlas_table, tex_ids, uv,
-                             idt=None) -> TexSamples:
+                             idt=None, slots=None) -> TexSamples:
     """Gather all non-normal material texture slots for a batch of rays.
-    tex_ids: (R, 6) i32 atlas entries (-1 = unbound)."""
-    has_base, e = _entry(atlas_table, tex_ids, TextureSlot.BASE_COLOR)
-    base = sample_atlas(atlas, e, uv)
-    has_em, e = _entry(atlas_table, tex_ids, TextureSlot.EMISSION)
-    emission = sample_atlas(atlas, e, uv)
-    has_rm, e = _entry(atlas_table, tex_ids, TextureSlot.ROUGHNESS_METALLIC)
-    rm = sample_atlas(atlas, e, uv)
-    has_tr, e = _entry(atlas_table, tex_ids, TextureSlot.TRANSMISSION)
-    tr = sample_atlas(atlas, e, uv)
-    has_cc, e = _entry(atlas_table, tex_ids, TextureSlot.CLEARCOAT)
-    cc = sample_atlas(atlas, e, uv)
+    tex_ids: (R, 6) i32 atlas entries (-1 = unbound). `slots` (static
+    frozenset of TextureSlot ints, from flatten.analyze_features) prunes
+    slots no material in the scene binds — each pruned slot saves four
+    bilinear taps per lane."""
+    n = uv.shape[0]
+
+    def slot_sample(slot):
+        if slots is not None and int(slot) not in slots:
+            return jnp.zeros((n,), bool), jnp.zeros((n, 4))
+        has, e = _entry(atlas_table, tex_ids, slot)
+        return has, sample_atlas(atlas, e, uv)
+
+    has_base, base = slot_sample(TextureSlot.BASE_COLOR)
+    has_em, emission = slot_sample(TextureSlot.EMISSION)
+    has_rm, rm = slot_sample(TextureSlot.ROUGHNESS_METALLIC)
+    has_tr, tr = slot_sample(TextureSlot.TRANSMISSION)
+    has_cc, cc = slot_sample(TextureSlot.CLEARCOAT)
 
     base_rgb = base[..., :3]
     em_rgb = emission[..., :3]

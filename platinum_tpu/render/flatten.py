@@ -74,11 +74,22 @@ def _camera_constants(scene: Scene, camera_node_id: int, settings: RenderSetting
 
 
 def _pack_atlas(textures: list) -> tuple:
-    """Shelf-pack float RGBA images into one atlas. Returns (atlas, table)
-    where table[k] = (x, y, w, h). Power-of-two atlas sized to fit."""
+    """Shelf-pack texture images into one atlas. Returns (atlas, table)
+    where table[k] = (x, y, w, h, srgb_flag). When every source is 8-bit
+    the atlas is stored as uint8 (4 B/texel, 4x smaller than f32 — a
+    Sponza-class 4K set fits in a few hundred MB of HBM) and decoded after
+    each bilinear tap in ops.texturing; float/HDR sources fall back to the
+    f32 atlas (already linear, flag 0)."""
     if not textures:
         return None, None
-    imgs = [t.as_float_rgba() for t in textures]
+    u8 = [t.as_u8_rgba() for t in textures]
+    use_u8 = all(x is not None for x in u8)
+    if use_u8:
+        imgs = [x[0] for x in u8]
+        flags = [1 if x[1] else 0 for x in u8]
+    else:
+        imgs = [t.as_float_rgba() for t in textures]
+        flags = [0] * len(imgs)
     # Sort by height (shelf packing), keep original order mapping
     order = sorted(range(len(imgs)), key=lambda i: -imgs[i].shape[0])
     max_w = max(i.shape[1] for i in imgs)
@@ -102,10 +113,15 @@ def _pack_atlas(textures: list) -> tuple:
             table[idx] = (0, y_cursor, w, h)
             y_cursor += h
     atlas_h = max(y_cursor, 1)
-    atlas = np.zeros((atlas_h, atlas_w, 4), dtype=F)
+    atlas = np.zeros((atlas_h, atlas_w, 4),
+                     dtype=np.uint8 if use_u8 else F)
     for idx, (x, y, w, h) in enumerate(table):
         atlas[y : y + h, x : x + w] = imgs[idx]
-    return atlas, np.asarray(table, dtype=np.int32)
+    table5 = np.asarray(
+        [(x, y, w, h, flags[i]) for i, (x, y, w, h) in enumerate(table)],
+        dtype=np.int32,
+    )
+    return atlas, table5
 
 
 def flatten_scene(
@@ -500,4 +516,14 @@ def analyze_features(flat: FlatScene) -> frozenset:
         feats.add("env")
     if int(np.asarray(flat.lights.count)) > 0:
         feats.add("area_lights")
+    # Alpha-tested (cutout) materials: enables the any-hit alpha loops for
+    # pass-through and shadow rays (kernel.metal:621-639)
+    if (np.asarray(flat.materials.flags) & MAT_USES_ALPHA).any():
+        feats.add("alpha")
+    # Which texture slots are bound ANYWHERE: unbound slots are statically
+    # pruned from the shade path (4 bilinear taps per lane per slot)
+    tex = np.asarray(flat.materials.textures)
+    for k in range(tex.shape[1]):
+        if (tex[:, k] >= 0).any():
+            feats.add(f"texslot{k}")
     return frozenset(feats)

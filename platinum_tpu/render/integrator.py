@@ -35,6 +35,26 @@ from platinum_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 RAY_EPS = 1e-3
+# Max alpha-cutout layers crossed per segment without consuming a bounce
+# (parity with the reference's bounded any-hit loop, intersections.metal:8-39)
+ALPHA_HOPS = 2
+
+
+def _alpha_value(flat: FlatScene, mat_idx, uv):
+    """Opacity at a hit: material base alpha x base-color texture alpha;
+    1.0 for materials without the USES_ALPHA flag."""
+    from platinum_tpu.render.types import MAT_USES_ALPHA
+
+    packed = flat.materials.packed[mat_idx]
+    base_a = packed[:, 3]
+    flags = packed[:, 15].astype(jnp.int32)
+    if flat.atlas is not None:
+        from platinum_tpu.ops.texturing import sample_base_alpha
+
+        tex_rows = flat.materials.textures[mat_idx]
+        base_a = base_a * sample_base_alpha(
+            flat.atlas, flat.atlas_table, tex_rows, uv)
+    return jnp.where((flags & MAT_USES_ALPHA) != 0, base_a, 1.0)
 
 
 def make_tracers(flat: FlatScene, settings: RenderSettings):
@@ -76,6 +96,7 @@ def init_path_state(flat: FlatScene, settings: RenderSettings,
         stream=stream,
         bounce=jnp.int32(0),
         rays=jnp.float32(0.0),
+        slot=jnp.arange(n, dtype=jnp.int32),  # lane -> output slot
     )
 
 
@@ -95,6 +116,11 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
              if (env_on and lights_on)
              else (1.0 if env_on else 0.0))
 
+    alpha_on = "alpha" in features
+    tex_slots = frozenset(
+        int(f[len("texslot"):]) for f in features if f.startswith("texslot"))
+    from platinum_tpu.ops.intersect import HitRecord as _HR
+
     def body(s):
         o, d, atten, L, active = s["o"], s["d"], s["atten"], s["L"], s["active"]
         stream = s["stream"]
@@ -102,6 +128,26 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         n = o.shape[0]
 
         rec = trace_closest(o, d, RAY_EPS, jnp.inf, active=active)
+        o_eff = o
+        if alpha_on:
+            # Any-hit alpha loop (kernel.metal:621-639 semantics): a hit on
+            # a cutout surface passes through stochastically WITHOUT
+            # consuming a bounce — re-trace from the hit point, bounded to
+            # ALPHA_HOPS layers per segment.
+            for _ in range(ALPHA_HOPS):
+                stream, u_a = stream.next_1d()
+                cand = rec.hit & active
+                hd_l = interpolate_hit(geom, rec, o_eff, d)
+                a_val = _alpha_value(flat, hd_l.mat_idx, hd_l.uv)
+                pas = cand & (u_a >= a_val)
+                o_eff = jnp.where(pas[:, None], hd_l.pos, o_eff)
+                rec2 = trace_closest(o_eff, d, RAY_EPS, jnp.inf, active=pas)
+                rec = _HR(
+                    t=jnp.where(pas, rec2.t, rec.t),
+                    tri=jnp.where(pas, rec2.tri, rec.tri),
+                    bary=jnp.where(pas[:, None], rec2.bary, rec.bary),
+                    hit=jnp.where(pas, rec2.hit, rec.hit),
+                )
         hit = rec.hit & active
         miss = active & ~rec.hit
 
@@ -120,13 +166,15 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                               atten * env_le * w_env[:, None], 0.0)
 
         # --- Hit shading data -----------------------------------------------
-        hd = interpolate_hit(geom, rec, o, d)
+        hd = interpolate_hit(geom, rec, o_eff, d)
         ctx = bsdf_mod.make_shading_context(
-            mats, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table
+            mats, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table,
+            slots=tex_slots,
         )
 
         # --- Normal mapping (kernel.metal:168-177) ---------------------------
-        if flat.atlas is not None:
+        from platinum_tpu.core.material import TextureSlot as _TS
+        if flat.atlas is not None and int(_TS.NORMAL) in tex_slots:
             from platinum_tpu.ops import frame as frame_ops
             from platinum_tpu.ops.texturing import sample_normal_map
 
@@ -151,34 +199,20 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                 mat_idx=hd.mat_idx,
             )
 
-        # --- Stochastic alpha transparency (intersections.metal:8-39) --------
-        # A hit on an alpha-mapped material passes through with probability
-        # 1-alpha: the path continues unshaded in the same direction.
-        stream, u_alpha = stream.next_1d()
-        if flat.atlas is not None:
-            from platinum_tpu.ops.texturing import sample_base_alpha
-            from platinum_tpu.render.types import MAT_USES_ALPHA
-
-            base_alpha = ctx.base_alpha * sample_base_alpha(
-                flat.atlas, flat.atlas_table, ctx.tex_rows, hd.uv
-            )
-            alpha_pass = (
-                hit
-                & ((ctx.flags & MAT_USES_ALPHA) != 0)
-                & (u_alpha >= base_alpha)
-            )
-        else:
-            alpha_pass = jnp.zeros((n,), bool)
-        hit = hit & ~alpha_pass
+        # Residual cutout hits beyond ALPHA_HOPS layers shade as opaque
+        # (the pass-through loop above runs before shading data is built).
 
         # --- Emission on hit (MIS against NEE) ------------------------------
         le = bsdf_mod.emitted_radiance(ctx, hd.wo)
         if use_mis and lights_on:
             cos_hit = jnp.abs(jnp.sum(d * hd.gnormal, axis=-1))
+            # distance from the previous path vertex (NOT the last alpha
+            # hop origin) — the pdf the NEE strategy would have used
+            dist2_hit = jnp.sum((hd.pos - o) ** 2, axis=-1)
             light_pdf_hit = (
                 (1.0 - p_inf)
                 * (ctx.emission[:, 1] * np.pi / jnp.maximum(lights.total_power, 1e-20))
-                * rec.t * rec.t / jnp.maximum(cos_hit, 1e-20)
+                * dist2_hit / jnp.maximum(cos_hit, 1e-20)
             )
             w_emit = jnp.where(
                 s["prev_spec"] | ~has_lights, 1.0,
@@ -247,8 +281,32 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             do_nee = hit & bsdf_mod.wants_nee(ctx) & f_nonzero
             if env_on and lights_on:
                 do_nee = do_nee & (has_lights | has_env)
-            occluded = trace_any(hd.pos, wi_world, RAY_EPS, dist - RAY_EPS,
-                                 active=do_nee)
+            if alpha_on:
+                # Shadow rays run the alpha loop too (kernel.metal:621-639):
+                # cutout surfaces block stochastically instead of fully.
+                occluded = jnp.zeros((n,), bool)
+                clear = jnp.zeros((n,), bool)
+                org = hd.pos
+                rem = dist - RAY_EPS
+                for _ in range(ALPHA_HOPS + 1):
+                    qry = do_nee & ~occluded & ~clear
+                    srec = trace_closest(org, wi_world, RAY_EPS, rem,
+                                         active=qry)
+                    shit = srec.hit & qry
+                    clear = clear | (qry & ~srec.hit)
+                    hd_s = interpolate_hit(geom, srec, org, wi_world)
+                    a_s = _alpha_value(flat, hd_s.mat_idx, hd_s.uv)
+                    stream, u_s = stream.next_1d()
+                    blocked = shit & (u_s < a_s)
+                    occluded = occluded | blocked
+                    pas_s = shit & ~blocked
+                    org = jnp.where(pas_s[:, None], hd_s.pos, org)
+                    rem = jnp.where(pas_s, rem - srec.t, rem)
+                # unresolved after the hop budget: conservative (occluded)
+                occluded = occluded | (do_nee & ~clear & ~occluded)
+            else:
+                occluded = trace_any(hd.pos, wi_world, RAY_EPS,
+                                     dist - RAY_EPS, active=do_nee)
             ld = (
                 li * ev.f * jnp.abs(wi_local[..., 2:3])
                 / jnp.maximum(p_light * l_pdf + ev.pdf, 1e-20)[..., None]
@@ -280,12 +338,11 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             jnp.linalg.norm(wi_world_next, axis=-1, keepdims=True), 1e-20
         )
 
-        active_new = active_new | alpha_pass
         return dict(
-            o=jnp.where(hit[:, None], hd.pos, jnp.where(alpha_pass[:, None], hd.pos, o)),
+            o=jnp.where(hit[:, None], hd.pos, o),
             d=jnp.where(hit[:, None], wi_world_next, d),
             L=L,
-            atten=jnp.where(active_new[:, None] & ~alpha_pass[:, None], atten_new, atten),
+            atten=jnp.where(active_new[:, None], atten_new, atten),
             active=active_new,
             prev_pdf=jnp.where(hit, samp.pdf, s["prev_pdf"]),
             prev_spec=jnp.where(
@@ -295,9 +352,63 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             bounce=bounce + 1,
             rays=s["rays"]
             + jnp.sum(active.astype(jnp.float32)) * (2.0 if use_mis else 1.0),
+            slot=s["slot"],
         )
 
     return body
+
+
+def _compact_state(state, cap: int, sel_key):
+    """Shrink the wavefront to `cap` lanes (unbiased population control).
+
+    Live lanes are kept with equal probability via a random-key sort; when
+    more than `cap` are live, a uniform random subset of size `cap`
+    survives with Horvitz-Thompson weight live/cap on its throughput —
+    the estimator stays unbiased, trading a little variance for a
+    smaller wavefront. This is the TPU-native (static-shape) counterpart
+    of the wavefront compaction queues in GPU path tracers (BASELINE
+    config 4; SURVEY §7 step 6): dead lanes are dropped, live lanes are
+    densely packed so every later trace/shade pass runs at `cap` lanes.
+    Banked radiance (state["L"], indexed by state["slot"]) must be
+    scattered out by the caller BEFORE compaction."""
+    n = state["o"].shape[0]
+    active = state["active"]
+    live = jnp.sum(active.astype(jnp.float32))
+    u = jax.random.uniform(sel_key, (n,))
+    order = jnp.argsort(jnp.where(active, u, 2.0))
+    sel = order[:cap]
+    w = jnp.maximum(1.0, live / float(cap))
+
+    def take(x):
+        return x[sel] if hasattr(x, "shape") and x.shape[:1] == (n,) else x
+
+    new = jax.tree.map(take, state)
+    new["atten"] = new["atten"] * w
+    new["L"] = jnp.zeros((cap, 3))
+    # lanes beyond `live` are dead padding; lanes dropped when live > cap
+    # are terminated (their future is carried by the survivors' weight)
+    return new
+
+
+def _compaction_plan(n: int, settings: RenderSettings):
+    """[(cap, bounce_limit)] segments: full size for the first bounces,
+    then halve every two bounces down to n/8 (multiples of 512 lanes)."""
+    if (not settings.compact or n < 8192
+            or settings.max_bounces <= 3):
+        return [(n, settings.max_bounces)]
+    plan = []
+    cap, b = n, 2
+    plan.append((n, 2))
+    while b < settings.max_bounces:
+        cap = max((cap // 2 + 511) // 512 * 512, 512)
+        nb = min(b + 2, settings.max_bounces) if cap > 512 else settings.max_bounces
+        plan.append((cap, nb))
+        b = nb
+        if cap == 512:
+            break
+    if plan[-1][1] < settings.max_bounces:
+        plan.append((plan[-1][0], settings.max_bounces))
+    return plan
 
 
 def render_sample(flat: FlatScene, settings: RenderSettings,
@@ -306,17 +417,42 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
                   features: frozenset = bsdf_mod.ALL_FEATURES):
     """Trace one sample per pixel; returns (R, 3) radiance (R = len(pixel_ids),
     default all pixels). With return_stats, also returns the number of rays
-    traced (closest + shadow), for honest Mrays/sec accounting."""
+    traced (closest + shadow), for honest Mrays/sec accounting.
+
+    With settings.compact, the wavefront shrinks on a fixed schedule as
+    paths die (see _compact_state) — later bounces trace and shade far
+    fewer lanes."""
     state = init_path_state(flat, settings, sample_idx, pixel_ids)
     body = make_bounce_body(flat, settings, features, tracers)
+    n = state["o"].shape[0]
+    plan = _compaction_plan(n, settings)
 
-    def cond(s):
-        return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
+    if len(plan) == 1:
+        def cond(s):
+            return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
 
-    final = jax.lax.while_loop(cond, body, state)
+        final = jax.lax.while_loop(cond, body, state)
+        if return_stats:
+            return final["L"], final["rays"]
+        return final["L"]
+
+    out = jnp.zeros((n, 3))
+    base_key = jax.random.PRNGKey(0)
+    base_key = jax.random.fold_in(base_key, sample_idx)
+    for si, (cap, blimit) in enumerate(plan):
+        if cap < state["o"].shape[0]:
+            out = out.at[state["slot"]].add(state["L"])
+            state = _compact_state(state, cap,
+                                   jax.random.fold_in(base_key, si))
+
+        def cond(s, blimit=blimit):
+            return (s["bounce"] < blimit) & jnp.any(s["active"])
+
+        state = jax.lax.while_loop(cond, body, state)
+    out = out.at[state["slot"]].add(state["L"])
     if return_stats:
-        return final["L"], final["rays"]
-    return final["L"]
+        return out, state["rays"]
+    return out
 
 
 @partial(jax.jit, static_argnames=("settings", "features"),
@@ -367,12 +503,37 @@ def render_step(flat: FlatScene, settings: RenderSettings, accum: jnp.ndarray,
     return (accum * k + radiance) / (k + 1.0)
 
 
+@partial(jax.jit, static_argnames=("settings", "features", "count"),
+         donate_argnames=("accum",))
+def render_step_n(flat: FlatScene, settings: RenderSettings,
+                  accum: jnp.ndarray, accum_count: jnp.ndarray,
+                  count: int,
+                  features: frozenset = bsdf_mod.ALL_FEATURES) -> jnp.ndarray:
+    """`count` progressive spp steps fused into ONE device program.
+
+    Amortises per-call dispatch overhead (the remote-TPU tunnel costs up
+    to ~28 ms per call) and keeps the accumulator resident. Numerically
+    identical to `count` calls of render_step."""
+    def body(i, acc):
+        idx = accum_count + i
+        return acc + render_sample(flat, settings, idx, features=features)
+
+    total = jax.lax.fori_loop(0, count, body,
+                              jnp.zeros((settings.num_pixels, 3)))
+    k = accum_count.astype(jnp.float32)
+    return (accum * k + total) / (k + float(count))
+
+
 def render(flat: FlatScene, settings: RenderSettings,
-           features: frozenset = bsdf_mod.ALL_FEATURES) -> jnp.ndarray:
+           features: frozenset = bsdf_mod.ALL_FEATURES,
+           spp_per_call: int = 8) -> jnp.ndarray:
     """Render settings.spp samples; returns (H, W, 3) linear radiance in the
     working colorspace."""
     accum = jnp.zeros((settings.num_pixels, 3))
-    for i in range(settings.spp):
-        accum = render_step(flat, settings, accum, jnp.int32(i),
-                            features=features)
+    done = 0
+    while done < settings.spp:
+        n = min(spp_per_call, settings.spp - done)
+        accum = render_step_n(flat, settings, accum, jnp.int32(done), n,
+                              features=features)
+        done += n
     return accum.reshape(settings.height, settings.width, 3)

@@ -41,7 +41,7 @@ class Renderer:
         self.post_options = post_options or PostProcessOptions()
         self.settings: RenderSettings | None = None
         self.flat: FlatScene | None = None
-        self._buckets = None        # (B, H*W, 3) accumulators
+        self._buckets = None        # list of B (H*W, 3) accumulators
         self._accumulated = 0
         self._start_time = None
         self._end_time = None
@@ -60,7 +60,10 @@ class Renderer:
         self._features = analyze_features(self.flat)
         n_buckets = max(1, self.settings.gmon_buckets
                         if self.settings.flags & FLAG_GMON else 1)
-        self._buckets = jnp.zeros((n_buckets, self.settings.num_pixels, 3))
+        # python list of per-bucket device accumulators: updating one
+        # bucket never round-trips (or re-writes) the whole bucket array
+        self._buckets = [jnp.zeros((self.settings.num_pixels, 3))
+                         for _ in range(n_buckets)]
         self._accumulated = 0
         self._start_time = time.perf_counter()
         self._end_time = None
@@ -71,17 +74,16 @@ class Renderer:
         if self.flat is None or self.status & RenderStatus.DONE:
             return
         s = self.settings
-        n_buckets = self._buckets.shape[0]
+        n_buckets = len(self._buckets)
         samples_per_bucket = -(-s.spp // n_buckets)
         bucket = min(self._accumulated // samples_per_bucket, n_buckets - 1)
         local_idx = self._accumulated % samples_per_bucket
 
-        acc = integrator.render_step(
+        self._buckets[bucket] = integrator.render_step(
             self.flat, s, self._buckets[bucket], jnp.int32(local_idx),
             sample_seed=jnp.int32(self._accumulated),
             features=self._features,
         )
-        self._buckets = self._buckets.at[bucket].set(acc)
         self._accumulated += 1
         if self._accumulated >= s.spp:
             jax.block_until_ready(self._buckets)
@@ -98,6 +100,10 @@ class Renderer:
         if self._accumulated < self.settings.spp:
             return RenderStatus.READY | RenderStatus.BUSY
         return RenderStatus.READY | RenderStatus.DONE
+
+    @property
+    def completed_spp(self) -> int:
+        return self._accumulated
 
     @property
     def render_progress(self) -> float:
@@ -117,7 +123,7 @@ class Renderer:
     # ------------------------------------------------------------------
 
     def _combined(self) -> jnp.ndarray:
-        n_buckets = self._buckets.shape[0]
+        n_buckets = len(self._buckets)
         if n_buckets == 1:
             return self._buckets[0]
         samples_per_bucket = -(-self.settings.spp // n_buckets)
@@ -126,7 +132,7 @@ class Renderer:
             n_buckets,
         ))
         cap = self.settings.gmon_cap or 1.0
-        return gmon_combine(self._buckets, full, cap)
+        return gmon_combine(jnp.stack(self._buckets), full, cap)
 
     def readback(self) -> np.ndarray:
         """(H, W, 3) linear radiance in the working colorspace."""
@@ -157,11 +163,11 @@ class Renderer:
     # Checkpoint / resume: the accumulator is the checkpoint (SURVEY.md §5)
     def save_checkpoint(self, path: str):
         np.savez_compressed(
-            path, buckets=np.asarray(self._buckets),
+            path, buckets=np.stack([np.asarray(b) for b in self._buckets]),
             accumulated=self._accumulated,
         )
 
     def load_checkpoint(self, path: str):
         data = np.load(path)
-        self._buckets = jnp.asarray(data["buckets"])
+        self._buckets = [jnp.asarray(b) for b in data["buckets"]]
         self._accumulated = int(data["accumulated"])

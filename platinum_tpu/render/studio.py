@@ -34,11 +34,70 @@ AXIS_Z_COLOR = np.array([0.3, 0.45, 0.85], np.float32)
 BACKGROUND = np.array([0.16, 0.16, 0.18], np.float32)
 SELECTION = np.array([1.0, 0.55, 0.1], np.float32)
 OUTLINE = np.array([0.05, 0.05, 0.05], np.float32)
+GIZMO_COLOR = np.array([0.9, 0.9, 0.92], np.float32)
+
+
+def camera_gizmo_segments(scene, exclude_node: int = -1) -> np.ndarray:
+    """(S, 6) world-space line segments [a.xyz, b.xyz] drawing a wireframe
+    frustum for every camera node (parity with the studio camera pass,
+    renderer_studio.cpp:219-262: 8 lines per camera)."""
+    segs = []
+    for node_id, cam, m in scene.get_cameras():
+        if node_id == exclude_node or cam is None:
+            continue
+        pos = m[:3, 3]
+        u, v, w = m[:3, 0], m[:3, 1], m[:3, 2]
+        depth = 0.8
+        f = max(float(cam.focal_length), 1e-3)
+        hw = depth * cam.sensor_size[0] / (2.0 * f)
+        hh = depth * cam.sensor_size[1] / (2.0 * f)
+        c = pos - w * depth
+        corners = [c + u * sx * hw + v * sy * hh
+                   for sx, sy in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+        for k in range(4):
+            segs.append(np.concatenate([pos, corners[k]]))
+            segs.append(np.concatenate([corners[k], corners[(k + 1) % 4]]))
+    if not segs:
+        return np.zeros((0, 6), np.float32)
+    return np.asarray(segs, np.float32)
+
+
+def _draw_segments(color, o, d, scene_t, segs, h, w):
+    """Analytic 3D line rasterisation: a pixel takes the gizmo color when
+    its view ray passes within an angular tolerance of a segment and the
+    segment point is not occluded by geometry."""
+    if segs.shape[0] == 0:
+        return color
+    a = segs[:, 0:3][None]          # (1,S,3)
+    b = segs[:, 3:6][None]
+    ab = b - a
+    o_ = o[:, None, :]
+    d_ = d[:, None, :]
+    ao = a - o_
+    # closest points between ray (o+t d) and segment (a + s ab)
+    dd = jnp.sum(d_ * d_, -1)
+    de = jnp.sum(d_ * ab, -1)
+    ee = jnp.sum(ab * ab, -1)
+    doo = jnp.sum(d_ * ao, -1)
+    eo = jnp.sum(ab * ao, -1)
+    den = dd * ee - de * de
+    safe = jnp.where(jnp.abs(den) > 1e-12, den, 1.0)
+    s_par = jnp.clip(jnp.where(jnp.abs(den) > 1e-12,
+                               (de * doo - dd * eo) / safe, 0.0), 0.0, 1.0)
+    p = a + ab * s_par[..., None]
+    t_ray = jnp.maximum(jnp.sum((p - o_) * d_, -1), 1e-4)
+    q = o_ + d_ * t_ray[..., None]
+    dist = jnp.linalg.norm(p - q, axis=-1)
+    tol = t_ray * 3e-3  # ~screen-constant line width
+    vis = (dist < tol) & (t_ray < scene_t[:, None] - 1e-3)
+    any_vis = vis.any(axis=1)
+    return jnp.where(any_vis[:, None], GIZMO_COLOR, color)
 
 
 @partial(jax.jit, static_argnames=("settings",))
 def _studio_pass(flat: FlatScene, settings: RenderSettings,
-                 selected_node: jnp.ndarray):
+                 selected_node: jnp.ndarray,
+                 gizmo_segs: jnp.ndarray):
     """Returns (color (H,W,3), object_id (H,W) int32)."""
     w, h = settings.width, settings.height
     n = w * h
@@ -89,6 +148,9 @@ def _studio_pass(flat: FlatScene, settings: RenderSettings,
     )
 
     color = jnp.where(rec.hit[:, None], shaded, grid_col)
+    # Camera gizmos (wireframe frusta), depth-tested against the scene
+    scene_t = jnp.where(rec.hit, rec.t, 1e30)
+    color = _draw_segments(color, o, d, scene_t, gizmo_segs, h, w)
     color = color.reshape(h, w, 3)
     ids = node_id.reshape(h, w)
 
@@ -139,8 +201,11 @@ class StudioRenderer:
         if self._flat is None:
             cam_node = self.camera.attach(self.scene)
             self._flat = flatten_scene(self.scene, cam_node, self.settings)
+            self._gizmos = camera_gizmo_segments(self.scene,
+                                                 exclude_node=cam_node)
         color, ids = _studio_pass(self._flat, self.settings,
-                                  jnp.int32(selected_node))
+                                  jnp.int32(selected_node),
+                                  jnp.asarray(self._gizmos))
         self._ids = ids
         return np.asarray(color)
 

@@ -156,9 +156,11 @@ class FlatScene:
     wbvh_tris: jnp.ndarray | None = None
     wbvh_meta: jnp.ndarray | None = None
     wbvh_slot: jnp.ndarray | None = None
-    # Texture atlas (None = no textures in scene)
-    atlas: jnp.ndarray | None = None          # (AH, AW, 4) f32
-    atlas_table: jnp.ndarray | None = None    # (K, 4) i32: x, y, w, h
+    # Texture atlas (None = no textures in scene). u8 storage encoding
+    # when every source texture is 8-bit (4 B/texel; decoded per tap in
+    # ops.texturing), f32 linear otherwise.
+    atlas: jnp.ndarray | None = None          # (AH, AW, 4) u8 or f32
+    atlas_table: jnp.ndarray | None = None    # (K, 5) i32: x, y, w, h, srgb
     # GGX energy-compensation LUTs (ops.luts.Luts pytree)
     luts: object | None = None
 
@@ -180,6 +182,7 @@ class RenderSettings:
     working_space: str = "BT709"
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh" | "packet"
+    compact: bool = False          # wavefront population-control compaction
     accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
     wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)

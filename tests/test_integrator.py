@@ -136,3 +136,28 @@ def test_alpha_transparency_pass_through():
     flat = flatten_scene(scene, cam.id, settings)
     img = np.asarray(integrator.render(flat, settings))
     assert np.abs(img - 0.5).max() < 1e-3, img.mean()
+
+
+def test_wavefront_compaction_unbiased():
+    """Population-control compaction (settings.compact) must be
+    mean-preserving: same scene/settings, compacted vs dense wavefront,
+    means agree to sampling noise (the estimator reweights survivors by
+    live/cap, Horvitz-Thompson)."""
+    from dataclasses import replace
+
+    from platinum_tpu.app.scenes import make_cornell_scene
+    from platinum_tpu.render.flatten import analyze_features
+
+    scene, cam = make_cornell_scene()
+    base = RenderSettings(width=96, height=96, spp=12, max_bounces=6,
+                          kernel="mis", sampler="pcg4d")
+    means = {}
+    for compact in (False, True):
+        settings = replace(base, compact=compact)
+        flat = flatten_scene(scene, cam, settings)
+        img = np.asarray(integrator.render(
+            flat, settings, features=analyze_features(flat)))
+        assert np.isfinite(img).all()
+        means[compact] = img.mean()
+    rel = abs(means[True] - means[False]) / means[False]
+    assert rel < 0.02, means

@@ -44,3 +44,60 @@ assert err < 1e-5, err
 """
     out = run_in_cpu_mesh(code, cpu_mesh_env)
     assert "MAXERR" in out
+
+
+def test_sharded_gmon_matches_single_device(cpu_mesh_env):
+    """GMoN buckets as sample shards (SURVEY §2.8): the sharded bucket
+    accumulators must match the single-device Renderer's GMoN buckets
+    (same sample->bucket assignment, deterministic samplers)."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from platinum_tpu.app.scenes import make_cornell_scene
+from platinum_tpu.render.flatten import flatten_scene, analyze_features
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.render import integrator
+from platinum_tpu.ops.gmon import gmon_combine
+from platinum_tpu.parallel.shard import render_sharded_gmon
+
+scene, cam = make_cornell_scene()
+settings = RenderSettings(width=16, height=16, spp=4, max_bounces=3, sampler="pcg4d")
+flat = flatten_scene(scene, cam, settings)
+feats = analyze_features(flat)
+
+# single-device reference: 2 buckets, each the mean of its 2 samples
+buckets = []
+for s in range(2):
+    acc = jnp.zeros((settings.num_pixels, 3))
+    for k in range(2):
+        acc = integrator.render_step(flat, settings, acc, jnp.int32(k),
+                                     sample_seed=jnp.int32(k * 2 + s),
+                                     features=feats)
+    buckets.append(np.asarray(acc))
+ref = np.asarray(gmon_combine(jnp.asarray(np.stack(buckets)), 2, 1.0))
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("sample", "tile"))
+img = np.asarray(render_sharded_gmon(flat, settings, mesh)).reshape(-1, 3)
+
+err = np.abs(img - ref).max()
+print("GMONERR", err)
+# fp reassociation differs between the shard_map and plain programs
+assert err < 2e-3, err
+"""
+    out = run_in_cpu_mesh(code, cpu_mesh_env)
+    assert "GMONERR" in out
+
+
+def test_multihost_single_process(cpu_mesh_env):
+    """multihost module: single-process no-op init + global mesh shape."""
+    code = """
+import jax
+from platinum_tpu.parallel import multihost
+assert multihost.initialize() is False
+mesh = multihost.global_mesh()
+assert mesh.shape["sample"] * mesh.shape["tile"] == len(jax.devices())
+assert multihost.is_coordinator()
+print("MULTIHOST OK", dict(mesh.shape))
+"""
+    out = run_in_cpu_mesh(code, cpu_mesh_env)
+    assert "MULTIHOST OK" in out
