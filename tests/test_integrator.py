@@ -161,3 +161,61 @@ def test_wavefront_compaction_unbiased():
         means[compact] = img.mean()
     rel = abs(means[True] - means[False]) / means[False]
     assert rel < 0.02, means
+
+
+def test_alpha_shadow_rays_pass_through():
+    """VERDICT r1 #7: shadow rays must run the alpha test too. A fully
+    transparent cutout quad between an area light and a Lambertian floor
+    must cast NO shadow (round 1 treated alpha surfaces as opaque for
+    occlusion); an opaque quad in the same spot must darken the floor."""
+    from platinum_tpu.core import primitives
+    from platinum_tpu.core.camera import Camera
+    from platinum_tpu.core.material import Material, TextureSlot
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.core.texture import Texture, TextureFormat
+    from platinum_tpu.core.transform import Transform
+    from platinum_tpu.render.flatten import analyze_features
+
+    def build(blocker: str):
+        scene = Scene()
+        floor = scene.create_node("floor")
+        scene.set_mesh(floor.id, scene.add_asset(primitives.plane(20.0)))
+        scene.set_material(floor.id, 0, scene.add_asset(
+            Material(name="f", base_color=(0.8, 0.8, 0.8, 1), roughness=1.0)))
+        light = scene.create_node("light")
+        scene.set_mesh(light.id, scene.add_asset(primitives.plane(2.0)))
+        light.transform = Transform(translation=[0, 6, 0],
+                                    rotation=[np.pi, 0, 0])
+        scene.set_material(light.id, 0, scene.add_asset(Material(
+            name="L", base_color=(0, 0, 0, 1), emission=(1, 1, 1),
+            emission_strength=30.0)))
+        if blocker != "none":
+            q = scene.create_node("quad")
+            scene.set_mesh(q.id, scene.add_asset(primitives.plane(4.0)))
+            q.transform = Transform(translation=[0, 3, 0])
+            mat = Material(name="b", base_color=(1, 1, 1, 1))
+            if blocker == "alpha":
+                tex = Texture(data=np.zeros((4, 4, 4), np.uint8),
+                              format=TextureFormat.SRGB_RGBA,
+                              name="clear", has_alpha=True)
+                mat.textures[TextureSlot.BASE_COLOR] = scene.add_asset(
+                    tex, retained=True)
+            scene.set_material(q.id, 0, scene.add_asset(mat))
+        cam = scene.create_node("cam")
+        cam.camera = Camera.with_focal_length(50.0)
+        cam.camera.focus_distance = 8.0
+        cam.transform = Transform(translation=[0, 6, 6], target=[0, 0, 0],
+                                  track=True)
+        settings = RenderSettings(width=32, height=32, spp=24, max_bounces=2,
+                                  kernel="mis", sampler="pcg4d")
+        flat = flatten_scene(scene, cam.id, settings)
+        img = np.asarray(integrator.render(
+            flat, settings, features=analyze_features(flat)))
+        return img[20:28, 12:20].mean()   # floor patch under the blocker
+
+    open_sky = build("none")
+    clear = build("alpha")
+    opaque = build("opaque")
+    # transparent blocker: no shadow (within noise); opaque: strong shadow
+    assert abs(clear - open_sky) / open_sky < 0.05, (clear, open_sky)
+    assert opaque < 0.5 * open_sky, (opaque, open_sky)
