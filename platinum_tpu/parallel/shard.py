@@ -18,11 +18,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from platinum_tpu.models import bsdf as _bsdf
 from platinum_tpu.render.integrator import render_sample
 from platinum_tpu.render.types import FlatScene, RenderSettings
 
 
-def make_sharded_step(flat_example: FlatScene, settings: RenderSettings, mesh: Mesh):
+def make_sharded_step(flat_example: FlatScene, settings: RenderSettings, mesh: Mesh,
+                      features: frozenset | None = None):
     """Build a jitted sharded progressive step:
         step(flat, accum, step_idx) -> accum
     where accum is (num_pixels, 3) sharded over 'tile' and each step advances
@@ -34,13 +36,15 @@ def make_sharded_step(flat_example: FlatScene, settings: RenderSettings, mesh: M
             f"num_pixels {settings.num_pixels} not divisible by tile axis {n_tile}"
         )
     shard_px = settings.num_pixels // n_tile
+    feats = features if features is not None else _bsdf.ALL_FEATURES
 
     def step_impl(flat, accum, step_idx):
         t = jax.lax.axis_index("tile").astype(jnp.uint32)
         s = jax.lax.axis_index("sample").astype(jnp.int32)
         pixel_ids = t * shard_px + jnp.arange(shard_px, dtype=jnp.uint32)
         sample_idx = step_idx * n_sample + s
-        radiance = render_sample(flat, settings, sample_idx, pixel_ids=pixel_ids)
+        radiance = render_sample(flat, settings, sample_idx,
+                                 pixel_ids=pixel_ids, features=feats)
         radiance = jax.lax.pmean(radiance, "sample")  # combine spp shard (ICI)
         k = step_idx.astype(jnp.float32)
         return (accum * k + radiance) / (k + 1.0)
@@ -56,11 +60,12 @@ def make_sharded_step(flat_example: FlatScene, settings: RenderSettings, mesh: M
 
 
 def render_sharded(flat: FlatScene, settings: RenderSettings, mesh: Mesh,
-                   steps: int | None = None) -> jnp.ndarray:
+                   steps: int | None = None,
+                   features: frozenset | None = None) -> jnp.ndarray:
     """Render settings.spp samples across the mesh; returns (H, W, 3)."""
     n_sample = mesh.shape.get("sample", 1)
     steps = steps if steps is not None else -(-settings.spp // n_sample)
-    step = make_sharded_step(flat, settings, mesh)
+    step = make_sharded_step(flat, settings, mesh, features=features)
     accum = jax.device_put(
         jnp.zeros((settings.num_pixels, 3)),
         NamedSharding(mesh, P("tile", None)),
@@ -74,7 +79,7 @@ def render_sharded(flat: FlatScene, settings: RenderSettings, mesh: Mesh,
 
 
 def make_sharded_gmon_step(flat_example: FlatScene, settings: RenderSettings,
-                           mesh: Mesh):
+                           mesh: Mesh, features: frozenset | None = None):
     """GMoN-bucketed sharded step: the 'sample' mesh axis IS the bucket axis
     (SURVEY.md §2.8). Each sample-row device keeps its OWN accumulator —
     no pmean — so after N steps device s holds bucket s's running mean of
@@ -88,6 +93,7 @@ def make_sharded_gmon_step(flat_example: FlatScene, settings: RenderSettings,
             f"num_pixels {settings.num_pixels} not divisible by tile axis {n_tile}"
         )
     shard_px = settings.num_pixels // n_tile
+    feats = features if features is not None else _bsdf.ALL_FEATURES
 
     def step_impl(flat, buckets, step_idx):
         t = jax.lax.axis_index("tile").astype(jnp.uint32)
@@ -95,7 +101,7 @@ def make_sharded_gmon_step(flat_example: FlatScene, settings: RenderSettings,
         pixel_ids = t * shard_px + jnp.arange(shard_px, dtype=jnp.uint32)
         sample_idx = step_idx * n_sample + s
         radiance = render_sample(flat, settings, sample_idx,
-                                 pixel_ids=pixel_ids)
+                                 pixel_ids=pixel_ids, features=feats)
         k = step_idx.astype(jnp.float32)
         return (buckets * k + radiance[None]) / (k + 1.0)
 
@@ -110,8 +116,8 @@ def make_sharded_gmon_step(flat_example: FlatScene, settings: RenderSettings,
 
 
 def render_sharded_gmon(flat: FlatScene, settings: RenderSettings, mesh: Mesh,
-                        steps: int | None = None,
-                        cap: float = 1.0) -> jnp.ndarray:
+                        steps: int | None = None, cap: float = 1.0,
+                        features: frozenset | None = None) -> jnp.ndarray:
     """GMoN render across the mesh: sample-axis devices are the buckets;
     firefly-robust median-of-means combine at the end."""
     from platinum_tpu.ops.gmon import gmon_combine
@@ -119,7 +125,7 @@ def render_sharded_gmon(flat: FlatScene, settings: RenderSettings, mesh: Mesh,
 
     n_sample = mesh.shape.get("sample", 1)
     steps = steps if steps is not None else -(-settings.spp // n_sample)
-    step = make_sharded_gmon_step(flat, settings, mesh)
+    step = make_sharded_gmon_step(flat, settings, mesh, features=features)
     buckets = jax.device_put(
         jnp.zeros((n_sample, settings.num_pixels, 3)),
         NamedSharding(mesh, P("sample", "tile", None)),

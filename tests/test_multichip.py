@@ -77,7 +77,8 @@ for s in range(2):
 ref = np.asarray(gmon_combine(jnp.asarray(np.stack(buckets)), 2, 1.0))
 
 mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("sample", "tile"))
-img = np.asarray(render_sharded_gmon(flat, settings, mesh)).reshape(-1, 3)
+img = np.asarray(render_sharded_gmon(flat, settings, mesh,
+                                     features=feats)).reshape(-1, 3)
 
 err = np.abs(img - ref).max()
 print("GMONERR", err)
