@@ -107,10 +107,12 @@ def main():
         print("# " + json.dumps(r), flush=True)
         return r
 
-    # 1. Cornell box, 512x512, Lambert + single light + NEE (BVH path)
+    # 1. Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
+    # picks the dense brute intersector for 12 triangles — the honest best
+    # algorithm at this size (the BVH path is timed by configs 2-5).
     run("cornell_512", make_cornell_scene(), RenderSettings(
         width=512, height=512, spp=64, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet"))
+        sampler="pcg4d"), accel_min_tris=32)
 
     # 2. MetalRoughSpheres-class: full GGX sweep + normal mapping, 256 spp
     run("metalrough_spheres", make_spheres_scene(), RenderSettings(
