@@ -5,8 +5,9 @@ aside) with the HEADLINE config last: Sponza-class ray throughput, the
 number BASELINE.json's north star names (>= 100 Mrays/sec/chip). The
 detailed results are also written to BENCH_DETAIL.json.
 
-All timed paths run the Pallas packet tracer (the BVH is in the loop —
-round-1's bench only ever timed the 12-triangle brute path) with
+Configs 2-5 time the Pallas packet tracer (round-1's bench only ever
+timed the 12-triangle brute path; config 1 keeps the brute intersector,
+the honest best algorithm for 12 triangles) with
 multi-spp batching per device program (the remote-TPU tunnel costs up
 to ~28 ms per dispatch) and wavefront compaction on the deep-bounce
 configs. Methodology: best half of timed iterations (tunnel variance).
