@@ -6,7 +6,7 @@ packed in a TPU-native layout:
   * one inner node = one (128,) f32 row = 16 child slots x 8 floats
     [lo.x, lo.y, lo.z, hi.x, hi.y, hi.z, meta0, pad]
   * one leaf BLOCK = one (10, 256) f32 tile holding the Moller-Trumbore
-    *matmul coefficients* of 32 triangles: all four MT scalars are bilinear
+    *matmul coefficients* of 64 triangles: all four MT scalars are bilinear
     in the per-ray feature vector F = [d, o x d, o, 1], so a single MXU
     matmul C(10,256) . F(10,128) intersects 64 triangles against 128 rays
     (one MXU issue amortises the matmul latency over the whole leaf).
@@ -54,6 +54,13 @@ BLOCK_TRIS = 64
 MAX_LEAF_BLOCKS = 31
 DEFAULT_LEAF_CAP = 64
 
+# Capacities of the traversal kernel's per-packet SMEM structures
+# (ops/pallas_trace.py sizes its scratch from these). build_wide_bvh
+# asserts every tree it emits fits them, so a malformed build fails
+# loudly at build time instead of corrupting SMEM at trace time.
+KERNEL_STACK = 256   # node-id stack entries per packet
+KERNEL_LEAFQ = 64    # leaf-block queue entries per packet
+
 EMPTY_META = np.float32(-1.0)
 
 
@@ -79,9 +86,9 @@ def _leaf_meta(block_start: int, n_blocks: int) -> int:
 
 def pack_tri_blocks(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                     slot_tri: np.ndarray) -> np.ndarray:
-    """Build (B, 10, 128) MT coefficient blocks.
+    """Build (B, 10, 256) MT coefficient blocks.
 
-    slot_tri: (B*32,) indices into v0/e1/e2 (-1 = padding slot, which gets
+    slot_tri: (B*64,) indices into v0/e1/e2 (-1 = padding slot, which gets
     an all-zero column: det == 0 is never valid).
 
     Derivation (o, d per ray; v0, e1, e2 per triangle; n = e2 x e1):
@@ -241,6 +248,29 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
                     int(leaf_block_start[ref]), int(leaf_n_blocks[ref])
                 )
             nodes[wid, si, 6] = float(meta_i32[wid, si])
+
+    # --- Kernel-capacity guarantees ----------------------------------------
+    # The traversal kernel drains one popped node's leaf children fully per
+    # superstep: per-node total leaf blocks must fit the leaf queue.
+    blocks_per_node = np.zeros(n_wide, np.int64)
+    for wid, slots in enumerate(wide_rows):
+        for si, (b, kind, ref) in enumerate(slots):
+            if kind == "leaf":
+                blocks_per_node[wid] += int(leaf_n_blocks[ref])
+    assert blocks_per_node.max(initial=0) <= KERNEL_LEAFQ, (
+        f"leaf_cap={leaf_cap} can enqueue {blocks_per_node.max()} blocks "
+        f"from one node, exceeding the kernel leaf queue ({KERNEL_LEAFQ})")
+    # DFS stack worst case: (WIDTH-1) outstanding pushes per tree level.
+    depth = np.zeros(n_wide, np.int64)
+    for wid in range(n_wide):        # parents precede children in `queue`
+        for si, (b, kind, ref) in enumerate(wide_rows[wid]):
+            if kind == "inner":
+                depth[ref] = depth[wid] + 1
+    max_pushes = (int(depth.max(initial=0)) + 1) * (WIDTH - 1) + 1
+    assert max_pushes <= KERNEL_STACK, (
+        f"wide tree depth {depth.max()} may need {max_pushes} stack slots "
+        f"(> kernel stack {KERNEL_STACK})")
+
     return WideBVH(nodes.reshape(n_wide, 128), tri_blocks,
                    meta_i32.reshape(-1), slot_tri, len(tg))
 

@@ -40,15 +40,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from platinum_tpu.accel.wide import KERNEL_LEAFQ, KERNEL_STACK
 from platinum_tpu.ops.intersect import INF, HitRecord
 
 DET_EPS = 1e-12
 LANES = 128
 MAX_STEPS = 1 << 22   # watchdog guard against malformed trees
-STACK = 256           # per-packet node-id stack: >= depth x hit-children/node
+# Per-packet SMEM capacities — sized in accel/wide.py, which asserts at
+# build time that every emitted tree fits them.
+STACK = KERNEL_STACK  # per-packet node-id stack: >= depth x hit-children/node
 PACKETS = 4           # interleaved 128-ray packets per kernel step
-LEAFQ = 64            # per-packet leaf-block queue capacity
+LEAFQ = KERNEL_LEAFQ  # per-packet leaf-block queue capacity
 MT_DRAIN = 4          # leaf MT blocks intersected per drain batch
+POPS = 2              # nodes popped per packet per superstep (amortises the
+                      # fixed superstep serialisation over more visits)
+ORDERED = True        # near-first traversal: rank hit children by packet
+                      # tnear so closer subtrees are visited first (tighter
+                      # best-t culling); costs one full int32 sync per pop
 
 
 def _ctz16(x):
@@ -63,7 +71,7 @@ def _ctz16(x):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(any_hit: bool, p_packets: int):
+def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -72,30 +80,38 @@ def _make_kernel(any_hit: bool, p_packets: int):
     superstep is therefore organised to maximise independent work per
     basic block:
 
-      phase A: pop one node per packet; slab-test all P nodes' children
-               (P independent VPU chains; the masks sync pairwise-packed,
-               two 16-bit fields per int32 transfer);
-      phase B: pure-scalar branchless bit walks — inner children push to
-               the per-packet node stacks, leaf children enqueue their
-               64-triangle MT block indices;
+      phase A: pop `pops` nodes per packet; slab-test all P*pops nodes'
+               children (independent VPU chains). With `ordered`, hit
+               children are also ranked by packet tnear (min over lanes)
+               and the 4 nearest child indices ride the sync word's high
+               16 bits (low 16 = plain hit mask);
+      phase B: pure-scalar branchless walks — residual (far) children
+               push first, then the ranked children far-to-near, so the
+               stack top is always the nearest unvisited subtree; inner
+               children push to the per-packet node stacks, leaf children
+               enqueue their 64-triangle MT block indices;
       phase C: drain the leaf queues four MXU blocks at a time, so the
                matmuls pipeline instead of serialising one per loop
                back-edge.
 
     Nodes are consumed from a pre-transposed (N, 16, 8) layout (child x
     component): static lane slices replace the per-node MXU permutation
-    transpose, keeping the expand chain MXU-free.
+    transpose, keeping the expand chain MXU-free. The (10, 128) MT ray
+    features live in VMEM scratch (not registers): the superstep body is
+    register-tight and Mosaic would otherwise spill.
     """
     P = p_packets
+    K = pops
 
     def kernel(meta_ref, rays_ref, nodes_ref, tris_ref,
                t_ref, tri_ref, u_ref, v_ref,
-               state, nstack, lqueue):
+               state, nstack, lqueue, fscr):
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (64, 1), 0).astype(jnp.float32)
         # Exact powers of two (jnp.exp2 is approximate; a truncating cast
         # of the mask sum then silently drops bit 0).
         pow2 = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
+        child_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
 
         def invd(v):
             tiny = jnp.where(v < 0, -1e-20, 1e-20)
@@ -115,8 +131,9 @@ def _make_kernel(any_hit: bool, p_packets: int):
                 ox, oy, oz,
                 jnp.ones((1, LANES), jnp.float32),
             ], axis=0)
+            fscr[p] = feat
             rp.append(dict(o=(ox, oy, oz), iv=(invd(dx), invd(dy), invd(dz)),
-                           tmin=tmin, tmax=tmax, feat=feat))
+                           tmin=tmin, tmax=tmax))
             b = 4 * p
             state[b:b + 1, :] = tmax
             state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
@@ -134,10 +151,12 @@ def _make_kernel(any_hit: bool, p_packets: int):
 
         def expand_vec(p, rec, best):
             """Slab-test 16 children (rec: (16, 8) child-major record)
-            against packet p; returns the (16,1) hit bit-vector. Empty
-            slots are masked by the meta component (their placeholder
-            bounds do NOT cull: slab min/max normalises inverted
-            intervals)."""
+            against packet p; returns the packed int32 sync word:
+            bits 0-15 = child hit mask, bits 16-31 (when `ordered`) =
+            indices of the 4 nearest hit children, nibble-packed nearest
+            first. Empty slots are masked by the meta component (their
+            placeholder bounds do NOT cull: slab min/max normalises
+            inverted intervals)."""
             ox, oy, oz = rp[p]["o"]
             ix, iy, iz = rp[p]["iv"]
             tmin = rp[p]["tmin"]
@@ -161,7 +180,28 @@ def _make_kernel(any_hit: bool, p_packets: int):
             )
             hit = (tnear <= tfar) & (tfar >= tmin) & (tnear <= best)
             hit = hit & ((meta >= 0.0) | (meta <= -1.5))
-            return jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True) * pow2
+            hit16 = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)
+            vec = hit16 * pow2                            # (16, 1) mask bits
+            if ordered:
+                # packet key per child: nearest entry distance over hit lanes
+                key = jnp.min(jnp.where(hit, tnear, 3e38), axis=1,
+                              keepdims=True)
+                key = jnp.where(hit16 > 0, key, 3e38)     # (16, 1)
+                # dense unique ranks among hit children (ties by index);
+                # the 4 nearest children's indices ride bits 16-31 as
+                # nibbles — disjoint bit fields, so the same single
+                # sum-reduce transfers mask and permutation together
+                kj = key.reshape(1, 16)
+                ij = child_iota.reshape(1, 16)
+                closer = (kj < key) | ((kj == key) & (ij < child_iota))
+                rank = jnp.sum(closer.astype(jnp.int32), axis=1,
+                               keepdims=True)             # (16, 1)
+                ranked = (hit16 > 0) & (rank < 4)
+                vec = vec | jnp.where(
+                    ranked, child_iota << (16 + 4 * rank), 0)
+            # (16,1) disjoint bit contributions; the caller's sum-reduce
+            # (== bitwise OR) transfers the whole word in one sync
+            return vec
 
         def mt_block(p, block_idx, best0, commit):
             """Möller-Trumbore via the MXU: one coefficient block = 64
@@ -174,7 +214,7 @@ def _make_kernel(any_hit: bool, p_packets: int):
             tmin = rp[p]["tmin"]
             blk = tris_ref[block_idx]                   # (10, 256)
             out = jax.lax.dot_general(
-                blk, rp[p]["feat"],
+                blk, fscr[p],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -228,63 +268,108 @@ def _make_kernel(any_hit: bool, p_packets: int):
                 live = live & (alive > 0)
             return live
 
+        def push_child(p, n, c, take, spx, lqx):
+            """Predicated scalar push of child c of node n: inner children
+            go on packet p's node stack, leaf children enqueue their MT
+            blocks. `take` disables the whole push (padding/pre-consumed
+            slots). The push index is clamped so even a malformed tree
+            (build_wide_bvh asserts this can't happen) cannot write past
+            this packet's stack region."""
+            meta_c = meta_ref[n * 16 + c]
+            inner = take & (meta_c >= 0)
+            nstack[p * STACK
+                   + jnp.minimum(jnp.where(inner, spx, STACK - 1),
+                                 STACK - 1)] = meta_c
+            spx = spx + jnp.where(inner, 1, 0)
+            val = -meta_c - 2
+            nb = jnp.where(take & (meta_c <= -2), val & 31, 0)
+            b0 = val >> 5
+
+            def pushleaf(j, lqv):
+                lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = b0 + j
+                return lqv + 1
+
+            lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
+            return spx, jnp.minimum(lqx, LEAFQ)
+
         def body(carry):
             sps, it = carry[:P], carry[P]
-            # --- Phase A: pop + slab-test one node per packet -------------
+            # --- Phase A: pop up to K nodes per packet + slab-test --------
             nps, sp2, bests, vecs = [], [], [], []
             for p in range(P):
                 sp = sps[p]
-                has = sp > 0
-                n = nstack[p * STACK + jnp.maximum(sp - 1, 0)]
-                nps.append(n)
-                sp2.append(sp - jnp.where(has, 1, 0))
                 bests.append(best_now(p))
-                rec = nodes_ref[jnp.where(has, n, 0)]    # (16, 8)
-                vecs.append(jnp.where(has, expand_vec(p, rec, bests[-1]), 0))
-            ms = []
-            for q in range(0, P, 2):
-                if q + 1 < P:
-                    both = jnp.sum(vecs[q] + (vecs[q + 1] << 16))
-                    ms.append(both & 0xFFFF)
-                    ms.append((both >> 16) & 0xFFFF)
-                else:
-                    ms.append(jnp.sum(vecs[q]))
+                row_n, row_v = [], []
+                for k in range(K):
+                    has = sp > k
+                    # clamped so an empty pop can never feed a garbage id
+                    # into the meta-table loads of phase B
+                    n = jnp.where(
+                        has, nstack[p * STACK + jnp.maximum(sp - 1 - k, 0)], 0)
+                    rec = nodes_ref[n]                       # (16, 8)
+                    row_n.append(n)
+                    row_v.append(
+                        jnp.where(has, expand_vec(p, rec, bests[p]), 0))
+                nps.append(row_n)
+                vecs.append(row_v)
+                sp2.append(sp - jnp.minimum(sp, K))
 
-            # --- Phase B: scalar bit walks (push nodes, enqueue leaves) ---
+            # sync the (p, k) words to the scalar unit. Ordered words use
+            # all 32 bits (mask + nearest-4 permutation); unordered words
+            # are 16-bit masks packed two per transfer, as in round 2.
+            flat = [vecs[p][k] for p in range(P) for k in range(K)]
+            if ordered:
+                words = [jnp.sum(v) for v in flat]
+            else:
+                words = []
+                for q in range(0, len(flat), 2):
+                    if q + 1 < len(flat):
+                        both = jnp.sum(flat[q] + (flat[q + 1] << 16))
+                        words.append(both & 0xFFFF)
+                        words.append((both >> 16) & 0xFFFF)
+                    else:
+                        words.append(jnp.sum(flat[q]))
+
+            # --- Phase B: scalar walks (push nodes, enqueue leaves). ------
+            # Pops are processed far-to-near (k descending) and, within a
+            # pop, residual children before the ranked nearest-4, so the
+            # nearest unvisited subtree always ends on the stack top.
             sp3, lqs = [], []
             for p in range(P):
-                n = nps[p]
+                spx, lqx = sp2[p], jnp.int32(0)
+                for k in range(K - 1, -1, -1):
+                    n = nps[p][k]
+                    w = words[p * K + k]
+                    m = w & 0xFFFF
+                    if ordered:
+                        pw = (w >> 16) & 0xFFFF
+                        cs, takes = [], []
+                        for r in range(4):
+                            c = (pw >> (4 * r)) & 15
+                            bit = jnp.int32(1) << c
+                            take = (m & bit) != 0
+                            m = m & ~jnp.where(take, bit, 0)
+                            cs.append(c)
+                            takes.append(take)
 
-                def bit_cond(c2):
-                    return c2[0] != 0
+                    def bit_cond(c2):
+                        return c2[0] != 0
 
-                def bit_body(c2, p=p, n=n):
-                    m, spx, lqx = c2
-                    lsb = m & (-m)
-                    c = _ctz16(lsb)
-                    m = m ^ lsb
-                    meta_c = meta_ref[n * 16 + c]
-                    inner = meta_c >= 0
-                    # branchless push: non-inner writes go to a spare slot
-                    nstack[p * STACK
-                           + jnp.where(inner, spx, STACK - 1)] = meta_c
-                    spx = spx + jnp.where(inner, 1, 0)
-                    val = -meta_c - 2
-                    nb = jnp.where(meta_c <= -2, val & 31, 0)
-                    b0 = val >> 5
+                    def bit_body(c2, p=p, n=n):
+                        mm, spx_, lqx_ = c2
+                        lsb = mm & (-mm)
+                        c = _ctz16(lsb)
+                        spx_, lqx_ = push_child(p, n, c, True, spx_, lqx_)
+                        return mm ^ lsb, spx_, lqx_
 
-                    def pushleaf(k, lqv):
-                        lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = (
-                            b0 + k)
-                        return lqv + 1
-
-                    lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
-                    return m, spx, jnp.minimum(lqx, LEAFQ)
-
-                _, spf, lqf = jax.lax.while_loop(
-                    bit_cond, bit_body, (ms[p], sp2[p], jnp.int32(0)))
-                sp3.append(spf)
-                lqs.append(lqf)
+                    _, spx, lqx = jax.lax.while_loop(
+                        bit_cond, bit_body, (m, spx, lqx))
+                    if ordered:
+                        for r in range(3, -1, -1):   # far -> near
+                            spx, lqx = push_child(p, n, cs[r], takes[r],
+                                                  spx, lqx)
+                sp3.append(spx)
+                lqs.append(lqx)
 
             # --- Phase C: drain leaf queues, MT_DRAIN blocks per batch ----
             for p in range(P):
@@ -330,8 +415,10 @@ def _make_kernel(any_hit: bool, p_packets: int):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
-                interpret: bool):
-    kernel = _make_kernel(any_hit, PACKETS)
+                interpret: bool, pops: int = None, ordered: bool = None):
+    pops = POPS if pops is None else pops
+    ordered = ORDERED if ordered is None else ordered
+    kernel = _make_kernel(any_hit, PACKETS, pops, ordered)
     grid_spec = pl.GridSpec(
         grid=(g,),
         in_specs=[
@@ -355,6 +442,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
             pltpu.VMEM((4 * PACKETS, LANES), jnp.float32),  # hit states
             pltpu.SMEM((PACKETS * STACK,), jnp.int32),      # node stacks
             pltpu.SMEM((PACKETS * LEAFQ,), jnp.int32),      # leaf queues
+            pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),  # MT ray features
         ],
     )
     # resident structure (nodes pad to 16x128 lanes) + pipeline headroom
@@ -435,13 +523,16 @@ def _pack_rays(o, d, tmin, tmax, active):
 
 def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        interpret: bool | None = None,
-                       sort: bool | None = None):
+                       sort: bool | None = None,
+                       pops: int | None = None,
+                       ordered: bool | None = None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
-    wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 128) f32 MT
-    coefficient blocks; wmeta: (N*16,) i32 child-meta table (SMEM-resident
-    during traversal); wslot: (B*32,) i32 slot -> triangle-id map (None if
-    slot ids already equal triangle ids). See accel.wide. `interpret`
+    wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
+    coefficient blocks (64 triangles x 4 outputs per block); wmeta:
+    (N*16,) i32 child-meta table (SMEM-resident during traversal); wslot:
+    (B*64,) i32 slot -> triangle-id map (None if slot ids already equal
+    triangle ids). See accel.wide. `interpret`
     forces Pallas interpreter mode (set automatically when running on CPU,
     e.g. the virtual-mesh dry run). `sort` reorders each ray wave by
     octant+Morton key before packetising (defaults on for non-trivial
@@ -484,7 +575,8 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
             if active is not None:
                 active = active[perm]
         rays, r, g = _pack_rays(o, d, tmin, tmax, active)
-        call = _build_call(g, n_nodes, n_rows, any_hit, interpret)
+        call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
+                           pops, ordered)
         t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
         flat = lambda x: x.reshape(g * PACKETS * LANES)[:r]
         t, tri, u, v = flat(t), flat(tri), flat(u), flat(v)

@@ -36,7 +36,12 @@ enable_compilation_cache()
 
 RAY_EPS = 1e-3
 # Max alpha-cutout layers crossed per segment without consuming a bounce
-# (parity with the reference's bounded any-hit loop, intersections.metal:8-39)
+# (parity with the reference's bounded any-hit loop, intersections.metal:8-39).
+# Layer budget: path segments re-test at most ALPHA_HOPS stacked cutout
+# surfaces (deeper stacks shade the last hit as opaque); shadow segments
+# resolve ALPHA_HOPS+1 layers and conservatively treat anything still
+# unresolved as occluded — scenes with more stacked cutouts along a light
+# path darken slightly (raise ALPHA_HOPS if authoring such content).
 ALPHA_HOPS = 2
 
 
@@ -133,13 +138,18 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             # Any-hit alpha loop (kernel.metal:621-639 semantics): a hit on
             # a cutout surface passes through stochastically WITHOUT
             # consuming a bounce — re-trace from the hit point, bounded to
-            # ALPHA_HOPS layers per segment.
+            # ALPHA_HOPS layers per segment. Each intersection is alpha-
+            # tested exactly ONCE: a hit that fails its draw is `settled`
+            # (shades as opaque) and never re-drawn — re-testing the same
+            # hit every hop would compound opacity to alpha^ALPHA_HOPS.
+            settled = jnp.zeros_like(rec.hit)
             for _ in range(ALPHA_HOPS):
                 stream, u_a = stream.next_1d()
-                cand = rec.hit & active
+                cand = rec.hit & active & ~settled
                 hd_l = interpolate_hit(geom, rec, o_eff, d)
                 a_val = _alpha_value(flat, hd_l.mat_idx, hd_l.uv)
                 pas = cand & (u_a >= a_val)
+                settled = settled | (cand & ~pas)
                 o_eff = jnp.where(pas[:, None], hd_l.pos, o_eff)
                 rec2 = trace_closest(o_eff, d, RAY_EPS, jnp.inf, active=pas)
                 rec = _HR(

@@ -150,7 +150,7 @@ class FlatScene:
     # tri_start(bitcast), tri_count(bitcast)] — traversal reads one row/step
     bvh_nodes: jnp.ndarray | None = None      # (N, 12) f32 (ints bitcast)
     # 16-wide VMEM-resident BVH for the Pallas packet tracer (accel.wide):
-    # (N, 128) inner-node rows + (L, 128) 8-triangle leaf rows + (N*16,)
+    # (N, 128) inner-node rows + (B, 10, 256) 64-triangle MT blocks + (N*16,)
     # i32 child-meta table (SMEM-resident during traversal)
     wbvh_nodes: jnp.ndarray | None = None
     wbvh_tris: jnp.ndarray | None = None

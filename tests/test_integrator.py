@@ -138,6 +138,46 @@ def test_alpha_transparency_pass_through():
     assert np.abs(img - 0.5).max() < 1e-3, img.mean()
 
 
+def test_alpha_half_transparent_opacity():
+    """ADVICE r2 (high): each cutout intersection must be alpha-tested
+    exactly once. An alpha=0.5 black cutout in front of a constant
+    environment must transmit ~0.5 of it; the old loop re-drew failed
+    tests every hop, compounding to 1 - alpha^ALPHA_HOPS = 0.75."""
+    from platinum_tpu.core.material import Material, TextureSlot
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.core.texture import Texture, TextureFormat
+    from platinum_tpu.core import primitives
+    from platinum_tpu.core.camera import Camera
+    from platinum_tpu.core.transform import Transform
+
+    scene = Scene()
+    quad_id = scene.add_asset(primitives.plane(6.0))
+    node = scene.create_node("quad")
+    scene.set_mesh(node.id, quad_id)
+    node.transform = Transform(rotation=[np.pi / 2, 0, 0])  # face the camera
+    # black, alpha = 128/255 texture: settled hits absorb, passes see env
+    data = np.zeros((4, 4, 4), np.uint8)
+    data[..., 3] = 128
+    tex = Texture(data=data, format=TextureFormat.SRGB_RGBA,
+                  name="half", has_alpha=True)
+    mat = Material(name="cutout", base_color=(1, 1, 1, 1))
+    mat.textures[TextureSlot.BASE_COLOR] = scene.add_asset(tex, retained=True)
+    scene.set_material(node.id, 0, scene.add_asset(mat))
+    scene.environment.constant_color = (0.8, 0.8, 0.8)
+
+    cam = scene.create_node("cam")
+    cam.camera = Camera.with_focal_length(50.0)
+    cam.camera.focus_distance = 5.0
+    cam.transform = Transform(translation=[0, 0, 5], target=[0, 0, 0], track=True)
+
+    settings = RenderSettings(width=16, height=16, spp=48, max_bounces=2,
+                              sampler="pcg4d")
+    flat = flatten_scene(scene, cam.id, settings)
+    img = np.asarray(integrator.render(flat, settings))
+    frac = img[4:12, 4:12].mean() / 0.8
+    assert abs(frac - 128.0 / 255.0) < 0.04, frac
+
+
 def test_wavefront_compaction_unbiased():
     """Population-control compaction (settings.compact) must be
     mean-preserving: same scene/settings, compacted vs dense wavefront,
