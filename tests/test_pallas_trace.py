@@ -88,6 +88,34 @@ def test_packet_matches_brute(leaf_cap):
     assert (occ_p == occ_b).mean() > 0.995
 
 
+@pytest.mark.parametrize("pops,ordered", [(1, False), (1, True), (2, False),
+                                          (3, True)])
+def test_packet_kernel_variants_match_brute(pops, ordered):
+    """Every (multi-pop, ordered-traversal) kernel variant must produce the
+    same hits — traversal order must never change results."""
+    v0, v1, v2 = _random_soup(t=500, seed=11)
+    wide, geom = _build(v0, v1, v2, leaf_cap=16)
+    tc, ta = make_packet_tracer(wide.nodes, wide.tri_blocks, wide.meta,
+                                wide.tri_of_slot, pops=pops, ordered=ordered)
+    bc, ba = make_brute_tracer(geom)
+    rng = np.random.default_rng(5)
+    r = 1024
+    o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rec_p = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf))(o, d)
+    rec_b = jax.jit(lambda o, d: bc(o, d, 1e-3, jnp.inf))(o, d)
+    hp, hb = np.asarray(rec_p.hit), np.asarray(rec_b.hit)
+    assert (hp == hb).mean() > 0.995
+    both = hp & hb
+    np.testing.assert_allclose(np.asarray(rec_p.t)[both],
+                               np.asarray(rec_b.t)[both],
+                               rtol=1e-4, atol=1e-5)
+    occ_p = np.asarray(jax.jit(lambda o, d: ta(o, d, 1e-3, 8.0))(o, d))
+    occ_b = np.asarray(jax.jit(lambda o, d: ba(o, d, 1e-3, 8.0))(o, d))
+    assert (occ_p == occ_b).mean() > 0.995
+
+
 def test_packet_active_mask_and_determinism():
     v0, v1, v2 = _random_soup(seed=11)
     wide, geom = _build(v0, v1, v2)
