@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 RESOURCE_DIR = os.path.join(os.path.dirname(__file__), "..", "resources")
+# Self-baked bundle (tools/lut_baker.py output)
 LUT_BUNDLE = os.path.join(RESOURCE_DIR, "ggx_luts.npz")
+# Bundle converted from the reference's shipped LUT EXRs
+# (tools/import_luts.py over resource/lut/ — SURVEY §2.7 sanctions loading
+# these exact values for bit-comparable energy compensation; the self-baked
+# set carries ~1% Monte-Carlo noise). Preferred by get_luts() when present.
+LUT_BUNDLE_REF = os.path.join(RESOURCE_DIR, "ggx_luts_ref.npz")
 
 LUT_NAMES = (
     "E", "E_avg", "E_ms", "E_ms_avg",
@@ -77,6 +83,10 @@ def placeholder_luts() -> Luts:
 
 
 def get_luts() -> Luts:
+    """Default LUT set: the reference-derived bundle when present (exact
+    energy-compensation parity), else the self-baked one, else identity."""
+    if os.path.exists(LUT_BUNDLE_REF):
+        return load_luts(LUT_BUNDLE_REF)
     if os.path.exists(LUT_BUNDLE):
         return load_luts()
     return placeholder_luts()
