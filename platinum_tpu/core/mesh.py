@@ -3,10 +3,10 @@
 Capability parity with /root/reference/src/core/mesh.{hpp,cpp}: positions,
 per-vertex shading data (normal, tangent w/ handedness, UV), u32 triangle
 indices, and a per-triangle material-slot index. Tangents are generated when
-absent; the reference runs mikktspace over *indexed* vertices (and documents
-the resulting inaccuracy, mesh.cpp:136-140) — we use the standard Lengyel
-UV-derivative accumulation with Gram-Schmidt orthogonalization, which is the
-same class of approximation on indexed data.
+absent with the mikktspace algorithm over *indexed* vertices exactly like the
+reference (mesh.cpp:135-157 — which documents the indexed-data inaccuracy;
+see core/mikkt.py, oracle-tested against the reference's C implementation).
+UV-less meshes fall back to Lengyel accumulation for a usable frame.
 
 Arrays stay numpy here; the render flattener concatenates meshes into device
 arrays.
@@ -45,9 +45,20 @@ class Mesh:
         else:
             self.uvs = np.ascontiguousarray(self.uvs, dtype=F).reshape(v, 2)
         if self.tangents is None:
-            self.tangents = generate_tangents(
-                self.positions, self.normals, self.uvs, self.indices
-            )
+            if np.any(self.uvs):
+                # mikktspace over indexed vertices, like the reference
+                # (mesh.cpp:135-157); exact-match tested vs the C oracle
+                from platinum_tpu.core.mikkt import generate_tangents_mikkt
+
+                self.tangents = generate_tangents_mikkt(
+                    self.positions, self.normals, self.uvs, self.indices
+                )
+            else:
+                # no UV chart: mikktspace would emit its (1,0,0) default
+                # everywhere; build any perpendicular frame instead
+                self.tangents = generate_tangents(
+                    self.positions, self.normals, self.uvs, self.indices
+                )
         else:
             self.tangents = np.ascontiguousarray(self.tangents, dtype=F).reshape(v, 4)
         if self.material_slots is None:
