@@ -1,0 +1,88 @@
+"""Raw traversal-kernel microbenchmark over (POPS, ORDERED) variants.
+
+Times the Pallas packet tracer alone (no shading) on the Sponza-class
+colonnade scene: coherent primary rays and a scrambled incoherent wave,
+closest-hit and any-hit. Used to pick kernel tunables on real hardware —
+every variant is a separate 2-8 min Mosaic compile, so runs are cached by
+the persistent compilation cache.
+
+Usage: python perf/bench_trace.py [variant ...]  (default: all)
+       variant = "P,O" e.g. "1,0" "2,1"
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from platinum_tpu.app.scenes import make_colonnade_scene
+from platinum_tpu.models.camera_rays import spawn_camera_rays
+from platinum_tpu.ops.pallas_trace import make_packet_tracer
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.types import RenderSettings
+
+
+def _timeit(fn, n_iters, repeats=3):
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n_iters):
+            out = fn(i)
+        float(np.asarray(out).ravel()[0])
+        dt = (time.perf_counter() - t0) / n_iters
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main():
+    variants = sys.argv[1:] or ["1,0", "1,1", "2,0", "2,1", "3,1"]
+    size = 512
+    settings = RenderSettings(width=size, height=size, spp=1)
+    scene, cam = make_colonnade_scene()
+    flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+    n = size * size
+    print(f"# colonnade: {int(flat.geometry.indices.shape[0])} tris,"
+          f" {n} rays/wave", flush=True)
+
+    # primary rays
+    px = jnp.arange(n, dtype=jnp.uint32) % size
+    py = jnp.arange(n, dtype=jnp.uint32) // size
+    o, d = spawn_camera_rays(flat.camera, px, py,
+                             jnp.zeros((n, 2)) + 0.5, jnp.zeros((n, 2)) + 0.5)
+    # incoherent wave: scramble pixel order + random directions from hits
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    oi = jnp.asarray(np.asarray(o)[perm])
+    di = np.asarray(d)[perm] + rng.normal(0, 0.35, (n, 3)).astype(np.float32)
+    di = jnp.asarray(di / np.linalg.norm(di, axis=-1, keepdims=True))
+
+    for var in variants:
+        pops, ordered = (int(x) for x in var.split(","))
+        tc, ta = make_packet_tracer(
+            flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
+            pops=pops, ordered=bool(ordered))
+        jc = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf).t)
+        ja = jax.jit(lambda o, d: ta(o, d, 1e-3, 60.0))
+        t0 = time.perf_counter()
+        jc(o, d).block_until_ready()
+        compile_s = time.perf_counter() - t0
+        res = {}
+        res["primary"] = _timeit(lambda i: jc(o, d), 4)
+        res["incoher"] = _timeit(lambda i: jc(oi, di), 4)
+        res["any_inc"] = _timeit(lambda i: ja(oi, di), 4)
+        line = {
+            "pops": pops, "ordered": ordered, "compile_s": round(compile_s, 1),
+        }
+        for k, v in res.items():
+            line[k + "_ms"] = round(v * 1e3, 2)
+            line[k + "_mrays"] = round(n / v / 1e6, 2)
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

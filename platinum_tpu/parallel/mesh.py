@@ -22,15 +22,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices=None, axes=("sample", "tile")) -> Mesh:
-    """1D or 2D device mesh. Default: all devices on the 'tile' axis."""
+def make_mesh(devices=None, axes=("sample", "tile"), sample_parallel=None) -> Mesh:
+    """1D or 2D device mesh over `axes`.
+
+    For a 2D ("sample", "tile") mesh the sample axis takes the largest
+    power-of-two factor of the device count up to `sample_parallel`
+    (default: up to n // 2, so both axes are populated when n > 1); the
+    tile axis gets the rest. Pass sample_parallel=1 for a pure tile mesh
+    or sample_parallel=n for a pure sample mesh."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if len(axes) == 1:
         shape = (n,)
     else:
-        # Prefer sample-axis folding by powers of two, tiles get the rest
+        limit = max(1, min(n, sample_parallel if sample_parallel else n // 2))
         s = 1
+        while s * 2 <= limit and n % (s * 2) == 0:
+            s *= 2
         shape = (s, n // s)
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axes)
