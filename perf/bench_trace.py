@@ -41,8 +41,10 @@ def _timeit(fn, n_iters, repeats=3):
 
 def main():
     variants = sys.argv[1:] or ["1,0", "1,1", "2,0", "2,1", "3,1"]
+    # variant = "pops,ordered[,feat_scratch]"
     size = 512
-    settings = RenderSettings(width=size, height=size, spp=1)
+    settings = RenderSettings(width=size, height=size, spp=1,
+                              instancing="off")
     scene, cam = make_colonnade_scene()
     flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
     n = size * size
@@ -62,7 +64,11 @@ def main():
     di = jnp.asarray(di / np.linalg.norm(di, axis=-1, keepdims=True))
 
     for var in variants:
-        pops, ordered = (int(x) for x in var.split(","))
+        parts = [int(x) for x in var.split(",")]
+        pops, ordered = parts[0], parts[1]
+        import platinum_tpu.ops.pallas_trace as pt
+        pt.FEAT_SCRATCH = bool(parts[2]) if len(parts) > 2 else True
+        pt._build_call.cache_clear()
         tc, ta = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
             pops=pops, ordered=bool(ordered))
@@ -76,7 +82,8 @@ def main():
         res["incoher"] = _timeit(lambda i: jc(oi, di), 4)
         res["any_inc"] = _timeit(lambda i: ja(oi, di), 4)
         line = {
-            "pops": pops, "ordered": ordered, "compile_s": round(compile_s, 1),
+            "pops": pops, "ordered": ordered, "fscr": int(pt.FEAT_SCRATCH),
+            "compile_s": round(compile_s, 1),
         }
         for k, v in res.items():
             line[k + "_ms"] = round(v * 1e3, 2)

@@ -3,9 +3,12 @@
 Parity with Resources::getIntersectionData (kernel.metal:118-188): barycentric
 interpolation of normals/tangents/UVs, geometric normal from the edge cross
 product, shading frame from normal+tangent(+handedness), and the outgoing
-direction in that frame. Geometry is already world-space (instances baked at
-flatten), so no per-instance transforms are needed here. Normal mapping is
-applied by the caller when a normal texture is bound.
+direction in that frame. Geometry is either world-space (instances baked at
+flatten) or, on the two-level TLAS/BLAS path, an object-space mesh library —
+then `instances` supplies per-lane world transforms (matching the
+reference's per-instance objectToWorld use, kernel.metal:118-188) and the
+per-(instance, slot) material resolution of renderer_pt.cpp:653-749.
+Normal mapping is applied by the caller when a normal texture is bound.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ def _norm(v):
 
 
 def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
-                    d: jnp.ndarray) -> HitData:
+                    d: jnp.ndarray, instances=None) -> HitData:
     import jax.lax as lax
 
     tri = jnp.where(rec.hit, rec.tri, 0)  # safe gather index on misses
@@ -72,6 +75,26 @@ def interpolate_hit(geometry: Geometry, rec: HitRecord, o: jnp.ndarray,
     e2 = geo[..., 6:9]
     gnormal = _norm(jnp.cross(e1, e2))
     mat_idx = geo[..., 9].astype(jnp.int32)  # value float, see flatten
+
+    if instances is not None and rec.inst is not None:
+        inst = jnp.where(rec.hit, rec.inst, 0)
+        irow = lookup.rows(instances.rows, inst)       # (R, 24)
+        A = irow[..., 0:9].reshape(-1, 3, 3)
+        Nm = irow[..., 9:18].reshape(-1, 3, 3)
+
+        def xf(m, v):
+            return jnp.einsum("rij,rj->ri", m, v)
+
+        normal = _norm(xf(Nm, normal))
+        gnormal = _norm(xf(Nm, gnormal))
+        tangent = _norm(xf(A, tangent))
+        # library row holds the material SLOT; resolve via the per-
+        # (instance, slot) assignment table
+        n_slots = instances.slot_mat.shape[1]
+        flat_ids = inst * n_slots + jnp.clip(mat_idx, 0, n_slots - 1)
+        mat_idx = lookup.rows(
+            instances.slot_mat.reshape(-1, 1), flat_ids
+        )[..., 0].astype(jnp.int32)
 
     t = jnp.where(rec.hit, rec.t, 0.0)
     pos = o + d * t[..., None]

@@ -32,6 +32,9 @@ class HitRecord:
     tri: jnp.ndarray    # (R,) i32 triangle index, -1 on miss
     bary: jnp.ndarray   # (R, 2) barycentric (u, v) for vertices 1, 2
     hit: jnp.ndarray    # (R,) bool
+    # (R,) i32 instance id — only set by the two-level TLAS/BLAS tracer
+    # (accel.tlas); None for world-space-baked geometry
+    inst: jnp.ndarray | None = None
 
 
 def _moller_trumbore(o, d, v0, e1, e2, tmin, tmax):

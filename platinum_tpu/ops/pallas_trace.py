@@ -57,6 +57,7 @@ POPS = 2              # nodes popped per packet per superstep (amortises the
 ORDERED = True        # near-first traversal: rank hit children by packet
                       # tnear so closer subtrees are visited first (tighter
                       # best-t culling); costs one full int32 sync per pop
+FEAT_SCRATCH = True   # MT ray features in VMEM scratch (False: registers)
 
 
 def _ctz16(x):
@@ -71,7 +72,8 @@ def _ctz16(x):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
+def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
+                 instanced: bool = False):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -102,10 +104,17 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
     """
     P = p_packets
     K = pops
+    SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
 
-    def kernel(meta_ref, rays_ref, nodes_ref, tris_ref,
-               t_ref, tri_ref, u_ref, v_ref,
-               state, nstack, lqueue, fscr):
+    def kernel(*refs):
+        if instanced:
+            (meta_ref, rays_ref, nodes_ref, tris_ref, ifeat_ref,
+             t_ref, tri_ref, u_ref, v_ref, inst_ref,
+             state, nstack, lqueue, fscr) = refs
+        else:
+            (meta_ref, rays_ref, nodes_ref, tris_ref,
+             t_ref, tri_ref, u_ref, v_ref,
+             state, nstack, lqueue, fscr) = refs
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (64, 1), 0).astype(jnp.float32)
         # Exact powers of two (jnp.exp2 is approximate; a truncating cast
@@ -131,18 +140,22 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
                 ox, oy, oz,
                 jnp.ones((1, LANES), jnp.float32),
             ], axis=0)
-            fscr[p] = feat
+            if FEAT_SCRATCH:
+                fscr[p] = feat
             rp.append(dict(o=(ox, oy, oz), iv=(invd(dx), invd(dy), invd(dz)),
-                           tmin=tmin, tmax=tmax))
-            b = 4 * p
+                           tmin=tmin, tmax=tmax,
+                           feat=None if FEAT_SCRATCH else feat))
+            b = SR * p
             state[b:b + 1, :] = tmax
             state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
             state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
             state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
+            if instanced:
+                state[b + 4:b + 5, :] = jnp.zeros((1, LANES))
             nstack[p * STACK] = 0
 
         def best_now(p):
-            b = 4 * p
+            b = SR * p
             best = state[b:b + 1, :]
             if any_hit:
                 alive = state[b + 1:b + 2, :] < 0.0
@@ -210,11 +223,26 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
             snapshot) so the MT chains in a drain batch are independent;
             commits are an exact min against the live state. `commit`
             masks out queue-padding slots."""
-            b = 4 * p
+            b = SR * p
             tmin = rp[p]["tmin"]
+            feat0 = fscr[p] if FEAT_SCRATCH else rp[p]["feat"]
+            if instanced:
+                inst = block_idx >> 14
+                block_idx = block_idx & 0x3FFF
+                # object-space features: one (10,10)x(10,128) MXU matmul
+                # (the MT feature map is linear under affine transforms)
+                tmat = ifeat_ref[inst][:, 0:16]          # (10, 16), T in 0:10
+                feat = jax.lax.dot_general(
+                    tmat[:, 0:10], feat0,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                feat = feat0
             blk = tris_ref[block_idx]                   # (10, 256)
             out = jax.lax.dot_general(
-                blk, fscr[p],
+                blk, feat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -257,6 +285,10 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
                                               state[b + 2:b + 3, :])
             state[b + 3:b + 4, :] = jnp.where(found, v_s,
                                               state[b + 3:b + 4, :])
+            if instanced:
+                state[b + 4:b + 5, :] = jnp.where(
+                    found, jnp.asarray(inst, jnp.float32),
+                    state[b + 4:b + 5, :])
 
         def cond(carry):
             sps, it, alive = carry[:P], carry[P], carry[P + 1]
@@ -283,10 +315,18 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
             spx = spx + jnp.where(inner, 1, 0)
             val = -meta_c - 2
             nb = jnp.where(take & (meta_c <= -2), val & 31, 0)
-            b0 = val >> 5
+            if instanced:
+                # val = inst << 19 | block << 5 | n_blocks (accel.tlas);
+                # queue entries carry the instance tag in bits 14+
+                b0 = (val >> 5) & 0x3FFF
+                tag = (val >> 19) << 14
+            else:
+                b0 = val >> 5
+                tag = 0
 
             def pushleaf(j, lqv):
-                lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = b0 + j
+                lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = (
+                    tag | (b0 + j))
                 return lqv + 1
 
             lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
@@ -390,7 +430,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
             if any_hit:
                 acc = jnp.zeros((1, LANES), jnp.float32)
                 for p in range(P):
-                    lane_ok = ((state[4 * p + 1:4 * p + 2, :] < 0.0)
+                    lane_ok = ((state[SR * p + 1:SR * p + 2, :] < 0.0)
                                & (rp[p]["tmax"] >= rp[p]["tmin"]))
                     acc = acc + lane_ok.astype(jnp.float32)
                 alive = jnp.sum(acc).astype(jnp.int32)
@@ -403,59 +443,67 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool):
         jax.lax.while_loop(cond, body, init)
 
         for p in range(P):
-            b = 4 * p
+            b = SR * p
             t_ref[0, p, :] = state[b:b + 1, :].reshape(LANES)
             tri_ref[0, p, :] = state[b + 1:b + 2, :].reshape(LANES).astype(
                 jnp.int32)
             u_ref[0, p, :] = state[b + 2:b + 3, :].reshape(LANES)
             v_ref[0, p, :] = state[b + 3:b + 4, :].reshape(LANES)
+            if instanced:
+                inst_ref[0, p, :] = state[b + 4:b + 5, :].reshape(
+                    LANES).astype(jnp.int32)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
-                interpret: bool, pops: int = None, ordered: bool = None):
+                interpret: bool, pops: int = None, ordered: bool = None,
+                n_inst: int = 0):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
-    kernel = _make_kernel(any_hit, PACKETS, pops, ordered)
+    instanced = n_inst > 0
+    kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced)
+    sr = 5 if instanced else 4
+    pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # child meta table
+        pl.BlockSpec((1, PACKETS, 8, LANES), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (N,16,8)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri coeff blocks
+    ]
+    out_specs = [pkt, pkt, pkt, pkt]
+    out_shape = [
+        jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
+    ]
+    if instanced:
+        # (I, 10, 128) per-instance feature-transform matrices
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs.append(pkt)
+        out_shape.append(jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.int32))
     grid_spec = pl.GridSpec(
         grid=(g,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # child meta table
-            pl.BlockSpec((1, PACKETS, 8, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (N,16,8)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri coeff blocks
-        ],
-        out_specs=[
-            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((4 * PACKETS, LANES), jnp.float32),  # hit states
-            pltpu.SMEM((PACKETS * STACK,), jnp.int32),      # node stacks
-            pltpu.SMEM((PACKETS * LEAFQ,), jnp.int32),      # leaf queues
-            pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),  # MT ray features
+            pltpu.VMEM((sr * PACKETS, LANES), jnp.float32),  # hit states
+            pltpu.SMEM((PACKETS * STACK,), jnp.int32),       # node stacks
+            pltpu.SMEM((PACKETS * LEAFQ,), jnp.int32),       # leaf queues
+            pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),   # MT ray features
         ],
     )
     # resident structure (nodes pad to 16x128 lanes) + pipeline headroom
-    vmem_bytes = (16 * n_nodes + 20 * n_rows) * LANES * 4 + (48 << 20)
+    vmem_bytes = ((16 * n_nodes + 20 * n_rows + 10 * n_inst) * LANES * 4
+                  + (48 << 20))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 128 << 20),
         ),
@@ -525,7 +573,8 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        interpret: bool | None = None,
                        sort: bool | None = None,
                        pops: int | None = None,
-                       ordered: bool | None = None):
+                       ordered: bool | None = None,
+                       inst_feat=None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -537,7 +586,11 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     e.g. the virtual-mesh dry run). `sort` reorders each ray wave by
     octant+Morton key before packetising (defaults on for non-trivial
     scenes; measured ~3 ms per 262k-ray wave vs >100 ms saved on
-    incoherent bounce waves).
+    incoherent bounce waves). `inst_feat` ((I, 10, 128) per-instance
+    feature-transform matrices, accel.tlas) switches the kernel to the
+    two-level TLAS/BLAS layout: leaf metas carry instance tags, the MT
+    features are transformed into each instance's object space at leaf
+    drain, and hit records carry the instance id.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -546,6 +599,10 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     wmeta = jnp.asarray(wmeta, jnp.int32)
     if wslot is not None:
         wslot = jnp.asarray(wslot, jnp.int32)
+    n_inst = 0
+    if inst_feat is not None:
+        inst_feat = jnp.asarray(inst_feat, jnp.float32)
+        n_inst = inst_feat.shape[0]
     n_nodes, n_rows = wnodes.shape[0], wtris.shape[0]
     wnodes_t = wnodes.reshape(n_nodes, 16, 8)
     if sort is None:
@@ -576,15 +633,25 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                 active = active[perm]
         rays, r, g = _pack_rays(o, d, tmin, tmax, active)
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
-                           pops, ordered)
-        t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
+                           pops, ordered, n_inst)
         flat = lambda x: x.reshape(g * PACKETS * LANES)[:r]
+        if n_inst:
+            t, tri, u, v, inst = call(wmeta, rays, wnodes_t, wtris, inst_feat)
+            inst = flat(inst)
+        else:
+            t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
+            inst = None
         t, tri, u, v = flat(t), flat(tri), flat(u), flat(v)
         if perm is not None:
-            packed = jnp.stack([t, tri.astype(jnp.float32), u, v], axis=-1)
+            cols = [t, tri.astype(jnp.float32), u, v]
+            if inst is not None:
+                cols.append(inst.astype(jnp.float32))
+            packed = jnp.stack(cols, axis=-1)
             unsorted = jnp.zeros_like(packed).at[perm].set(packed)
             t, u, v = unsorted[:, 0], unsorted[:, 2], unsorted[:, 3]
             tri = unsorted[:, 1].astype(jnp.int32)
+            if inst is not None:
+                inst = unsorted[:, 4].astype(jnp.int32)
         if wslot is not None and not any_hit:
             # kernel reports slot ids; map to triangle ids
             tri = jnp.where(tri >= 0, wslot[jnp.maximum(tri, 0)], -1)
@@ -594,6 +661,7 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
             tri=tri,
             bary=jnp.stack([u, v], axis=-1),
             hit=hit,
+            inst=(jnp.where(hit, inst, 0) if inst is not None else None),
         )
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:

@@ -124,6 +124,179 @@ def _pack_atlas(textures: list) -> tuple:
     return atlas, table5
 
 
+def _material_arrays(scene, mat_ids, idt, texture_entry):
+    """Material SoA + energy rows (shared by the baked and instanced
+    flatten paths). Runs after the geometry walk so every used material
+    row is registered."""
+    n_mat = len(mat_ids)
+    base_color = np.zeros((n_mat, 4), F)
+    emission = np.zeros((n_mat, 3), F)
+    rough = np.zeros(n_mat, F)
+    metal = np.zeros(n_mat, F)
+    transm = np.zeros(n_mat, F)
+    ior = np.zeros(n_mat, F)
+    aniso = np.zeros(n_mat, F)
+    aniso_rot = np.zeros(n_mat, F)
+    coat = np.zeros(n_mat, F)
+    coat_rough = np.zeros(n_mat, F)
+    flags = np.zeros(n_mat, np.int32)
+    tex_table = np.full((n_mat, NUM_TEXTURE_SLOTS), -1, np.int32)
+
+    for row, mid in enumerate(mat_ids):
+        mat: Material = scene.resolve_material(mid)
+        bc = np.asarray(mat.base_color, F)
+        base_color[row, :3] = idt @ bc[:3]
+        base_color[row, 3] = bc[3] if len(bc) > 3 else 1.0
+        emission[row] = (idt @ np.asarray(mat.emission, F)) * F(mat.emission_strength)
+        rough[row] = mat.roughness
+        metal[row] = mat.metallic
+        transm[row] = mat.transmission
+        ior[row] = mat.ior
+        aniso[row] = mat.anisotropy
+        aniso_rot[row] = mat.anisotropy_rotation
+        coat[row] = mat.clearcoat
+        coat_rough[row] = mat.clearcoat_roughness
+
+        fl = 0
+        if mat.is_emissive():
+            fl |= MAT_EMISSIVE
+        if mat.anisotropy != 0.0:
+            fl |= MAT_ANISOTROPIC
+        if mat.thin_transmission:
+            fl |= MAT_THIN
+        uses_alpha = base_color[row, 3] < 1.0
+        for slot, tid in mat.textures.items():
+            entry = texture_entry(tid)
+            tex_table[row, int(slot)] = entry
+            if int(slot) == int(TextureSlot.BASE_COLOR) and entry >= 0:
+                tex = scene.asset(tid)
+                uses_alpha = uses_alpha or tex.has_alpha
+        if uses_alpha:
+            fl |= MAT_USES_ALPHA
+        flags[row] = fl
+
+    # Per-material energy rows (cheap 1D lookups replacing 2D/3D LUT
+    # gathers when roughness/metallic are untextured)
+    from platinum_tpu.ops import luts as _lm
+
+    _l = _lm.get_host_luts()  # numpy view — never read device arrays back
+    K = 64
+    cos_grid = (np.arange(K, dtype=np.float64) + 0.5) / K
+    energy = np.zeros((n_mat, K, 4), F)
+    energy_avg = np.zeros((n_mat, 4), F)
+    for row in range(n_mat):
+        rg, io = float(rough[row]), float(ior[row])
+        iorp = (io - 1.0) / max(io, 1e-6)
+        energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
+        energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
+        energy[row, :, 2] = _lm.sample3d_np(_l.E_trans_in, cos_grid, rg, iorp)
+        energy[row, :, 3] = _lm.sample3d_np(
+            _l.E_trans_out, cos_grid, rg, 1.0 - (1.0 / max(io, 1e-6))
+        )
+        energy_avg[row, 0] = _lm.sample1d_np(_l.E_avg, rg)
+        energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
+
+    mat_packed = np.zeros((n_mat, 16), F)
+    mat_packed[:, 0:4] = base_color
+    mat_packed[:, 4:7] = emission
+    mat_packed[:, 7] = rough
+    mat_packed[:, 8] = metal
+    mat_packed[:, 9] = transm
+    mat_packed[:, 10] = ior
+    mat_packed[:, 11] = aniso
+    mat_packed[:, 12] = aniso_rot
+    mat_packed[:, 13] = coat
+    mat_packed[:, 14] = coat_rough
+    mat_packed[:, 15] = flags.astype(F)  # value float (|x| < 2^24)
+
+    return MaterialTable(
+        base_color=jnp.asarray(base_color),
+        emission=jnp.asarray(emission),
+        roughness=jnp.asarray(rough),
+        metallic=jnp.asarray(metal),
+        transmission=jnp.asarray(transm),
+        ior=jnp.asarray(ior),
+        anisotropy=jnp.asarray(aniso),
+        anisotropy_rotation=jnp.asarray(aniso_rot),
+        clearcoat=jnp.asarray(coat),
+        clearcoat_roughness=jnp.asarray(coat_rough),
+        flags=jnp.asarray(flags),
+        textures=jnp.asarray(tex_table),
+        energy=jnp.asarray(energy),
+        energy_avg=jnp.asarray(energy_avg),
+        packed=jnp.asarray(mat_packed),
+    ), flags, emission
+
+
+def _light_table(lv0, le1, le2, l_emission) -> LightTable:
+    """Emissive-triangle table with power CDF + alias pick, from
+    world-space light triangles (v0, e1, e2) and their emission rows
+    (parity with rebuildLightData, renderer_pt.cpp:856-915)."""
+    if len(lv0):
+        area = 0.5 * np.linalg.norm(np.cross(le1, le2), axis=-1)
+        le = l_emission
+        power = le[:, 1] * area * np.pi
+        cum = np.cumsum(power, dtype=np.float64).astype(F)
+        _, lp, lalias = build_alias_table(power)
+        n_l = len(lv0)
+        lpacked = np.zeros((n_l, 16), F)
+        lpacked[:, 0:3] = lv0
+        lpacked[:, 3:6] = le1
+        lpacked[:, 6:9] = le2
+        lpacked[:, 9:12] = le
+        lpacked[:, 12] = area
+        lpacked[:, 13] = power / max(float(cum[-1]), 1e-20)
+        lpacked[:, 14] = lp
+        # alias index as a VALUE float (not bitcast): packed rows feed the
+        # one-hot-matmul lookup path, which only copies normal floats exactly
+        lpacked[:, 15] = lalias.astype(F)
+        return LightTable(
+            tri=jnp.zeros(n_l, jnp.int32),
+            emission=jnp.asarray(le),
+            area=jnp.asarray(area.astype(F)),
+            power=jnp.asarray(power.astype(F)),
+            cum_power=jnp.asarray(cum),
+            total_power=jnp.float32(cum[-1]),
+            count=jnp.int32(n_l),
+            alias_p=jnp.asarray(lp),
+            alias_idx=jnp.asarray(lalias.astype(np.int32)),
+            packed=jnp.asarray(lpacked),
+        )
+    z = np.zeros(1, F)
+    return LightTable(
+        tri=jnp.zeros(1, jnp.int32),
+        emission=jnp.zeros((1, 3), jnp.float32),
+        area=jnp.asarray(z),
+        power=jnp.asarray(z),
+        cum_power=jnp.asarray(z),
+        total_power=jnp.float32(0),
+        count=jnp.int32(0),
+        alias_p=jnp.ones(1, jnp.float32),
+        alias_idx=jnp.zeros(1, jnp.int32),
+        packed=jnp.zeros((1, 16), jnp.float32),
+    )
+
+
+def _environment_light(scene, idt) -> EnvironmentLight:
+    env = scene.environment
+    if env.has_texture and scene.asset(env.texture_id) is not None:
+        tex: Texture = scene.asset(env.texture_id)
+        px = tex.as_float_rgba()[..., :3]
+    else:
+        px = np.asarray(env.constant_color, F).reshape(1, 1, 3)
+    px = (px @ idt.T * F(env.strength)).astype(F)
+    has_env = bool(px.max() > 0.0)
+    luma = np.maximum(px @ cs.luminance_weights(cs.BT709), 0.0).reshape(-1)
+    pdf, p, alias = build_alias_table(luma)
+    return EnvironmentLight(
+        pixels=jnp.asarray(px),
+        pdf=jnp.asarray(pdf),
+        p=jnp.asarray(p),
+        alias=jnp.asarray(alias.astype(np.int32)),
+        count=jnp.int32(1 if has_env else 0),
+    )
+
+
 def flatten_scene(
     scene: Scene,
     camera_node_id: int | None = None,
@@ -131,7 +304,12 @@ def flatten_scene(
     build_accel: bool = True,
     accel_min_tris: int = 32,
     accel_max_leaf: int | None = None,
+    host_accel_out: dict | None = None,
 ) -> FlatScene:
+    """Compile `scene` to a device FlatScene. `host_accel_out`, when a
+    dict, receives the host-side instanced accel ({"ibvh", "mesh_wides",
+    "instances"}) so callers (Renderer) can refit transforms without a
+    rebuild."""
     settings = settings or RenderSettings()
     if accel_max_leaf is None:
         accel_max_leaf = settings.accel_max_leaf
@@ -170,6 +348,25 @@ def flatten_scene(
             tex_index[tid] = len(tex_assets)
             tex_assets.append(scene.asset(tid))
         return tex_index[tid]
+
+    # ------------------------------------------------------------------
+    # Two-level instancing decision (renderer_pt.cpp:653-749 builds one
+    # BLAS per mesh + a TLAS over instances; the baked path below is the
+    # out-of-core-friendly fallback and the oracle for tests)
+    # ------------------------------------------------------------------
+    n_unique = len({id(i.mesh) for i in instances}) if instances else 0
+    use_instancing = build_accel and settings.tracer in ("packet", "auto") and (
+        settings.instancing == "on"
+        or (settings.instancing == "auto" and len(instances) > n_unique)
+    )
+    if use_instancing:
+        total_tris = sum(i.mesh.num_triangles for i in instances)
+        use_instancing = total_tris >= accel_min_tris
+    if use_instancing:
+        return _flatten_instanced(
+            scene, camera_node_id, settings, instances, material_row,
+            texture_entry, mat_ids, tex_assets, idt, accel_max_leaf,
+            host_accel_out)
 
     # ------------------------------------------------------------------
     # Geometry: bake instances into world space
@@ -243,154 +440,20 @@ def flatten_scene(
             bvh_tri_count=jnp.asarray(bvh.tri_count),
         )
 
-    # ------------------------------------------------------------------
-    # Material SoA (after geometry walk so every used row is registered)
-    # ------------------------------------------------------------------
-    n_mat = len(mat_ids)
-    base_color = np.zeros((n_mat, 4), F)
-    emission = np.zeros((n_mat, 3), F)
-    rough = np.zeros(n_mat, F)
-    metal = np.zeros(n_mat, F)
-    transm = np.zeros(n_mat, F)
-    ior = np.zeros(n_mat, F)
-    aniso = np.zeros(n_mat, F)
-    aniso_rot = np.zeros(n_mat, F)
-    coat = np.zeros(n_mat, F)
-    coat_rough = np.zeros(n_mat, F)
-    flags = np.zeros(n_mat, np.int32)
-    tex_table = np.full((n_mat, NUM_TEXTURE_SLOTS), -1, np.int32)
-
-    for row, mid in enumerate(mat_ids):
-        mat: Material = scene.resolve_material(mid)
-        bc = np.asarray(mat.base_color, F)
-        base_color[row, :3] = idt @ bc[:3]
-        base_color[row, 3] = bc[3] if len(bc) > 3 else 1.0
-        emission[row] = (idt @ np.asarray(mat.emission, F)) * F(mat.emission_strength)
-        rough[row] = mat.roughness
-        metal[row] = mat.metallic
-        transm[row] = mat.transmission
-        ior[row] = mat.ior
-        aniso[row] = mat.anisotropy
-        aniso_rot[row] = mat.anisotropy_rotation
-        coat[row] = mat.clearcoat
-        coat_rough[row] = mat.clearcoat_roughness
-
-        fl = 0
-        if mat.is_emissive():
-            fl |= MAT_EMISSIVE
-        if mat.anisotropy != 0.0:
-            fl |= MAT_ANISOTROPIC
-        if mat.thin_transmission:
-            fl |= MAT_THIN
-        uses_alpha = base_color[row, 3] < 1.0
-        for slot, tid in mat.textures.items():
-            entry = texture_entry(tid)
-            tex_table[row, int(slot)] = entry
-            if int(slot) == int(TextureSlot.BASE_COLOR) and entry >= 0:
-                tex = scene.asset(tid)
-                uses_alpha = uses_alpha or tex.has_alpha
-        if uses_alpha:
-            fl |= MAT_USES_ALPHA
-        flags[row] = fl
+    materials, flags, emission = _material_arrays(
+        scene, mat_ids, idt, texture_entry)
 
     # ------------------------------------------------------------------
-    # Per-material energy rows (cheap 1D lookups replacing 2D/3D LUT
-    # gathers when roughness/metallic are untextured)
-    # ------------------------------------------------------------------
-    from platinum_tpu.ops import luts as _lm
-
-    _l = _lm.get_host_luts()  # numpy view — never read device arrays back
-    K = 64
-    cos_grid = (np.arange(K, dtype=np.float64) + 0.5) / K
-    energy = np.zeros((n_mat, K, 4), F)
-    energy_avg = np.zeros((n_mat, 4), F)
-    for row in range(n_mat):
-        rg, io = float(rough[row]), float(ior[row])
-        iorp = (io - 1.0) / max(io, 1e-6)
-        iorp_out = 1.0 - 1.0 / max(io, 1e-6)
-        energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
-        energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
-        energy[row, :, 2] = _lm.sample3d_np(_l.E_trans_in, cos_grid, rg, iorp)
-        energy[row, :, 3] = _lm.sample3d_np(
-            _l.E_trans_out, cos_grid, rg, 1.0 - (1.0 / max(io, 1e-6))
-        )
-        energy_avg[row, 0] = _lm.sample1d_np(_l.E_avg, rg)
-        energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
-
-    # ------------------------------------------------------------------
-    # Lights: emissive triangles, power CDF (power = Y·area·π like the
-    # reference's rebuildLightData, renderer_pt.cpp:856-915)
+    # Lights + environment (shared helpers)
     # ------------------------------------------------------------------
     emissive_rows = np.nonzero(flags & MAT_EMISSIVE)[0]
     light_tris = np.nonzero(np.isin(tri_mats, emissive_rows))[0].astype(np.int32)
-    if len(light_tris):
-        tri_l = indices[light_tris]
-        v0, v1, v2 = (positions[tri_l[:, 0]], positions[tri_l[:, 1]],
-                      positions[tri_l[:, 2]])
-        area = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
-        le = emission[tri_mats[light_tris]]
-        power = le[:, 1] * area * np.pi
-        cum = np.cumsum(power, dtype=np.float64).astype(F)
-        _, lp, lalias = build_alias_table(power)
-        lv0 = positions[tri_l[:, 0]]
-        lpacked = np.zeros((len(light_tris), 16), F)
-        lpacked[:, 0:3] = lv0
-        lpacked[:, 3:6] = positions[tri_l[:, 1]] - lv0
-        lpacked[:, 6:9] = positions[tri_l[:, 2]] - lv0
-        lpacked[:, 9:12] = le
-        lpacked[:, 12] = area
-        lpacked[:, 13] = power / max(float(cum[-1]), 1e-20)
-        lpacked[:, 14] = lp
-        # alias index as a VALUE float (not bitcast): packed rows feed the
-        # one-hot-matmul lookup path, which only copies normal floats exactly
-        lpacked[:, 15] = lalias.astype(F)
-        lights = LightTable(
-            tri=jnp.asarray(light_tris),
-            emission=jnp.asarray(le),
-            area=jnp.asarray(area.astype(F)),
-            power=jnp.asarray(power.astype(F)),
-            cum_power=jnp.asarray(cum),
-            total_power=jnp.float32(cum[-1]),
-            count=jnp.int32(len(light_tris)),
-            alias_p=jnp.asarray(lp),
-            alias_idx=jnp.asarray(lalias.astype(np.int32)),
-            packed=jnp.asarray(lpacked),
-        )
-    else:
-        z = np.zeros(1, F)
-        lights = LightTable(
-            tri=jnp.zeros(1, jnp.int32),
-            emission=jnp.zeros((1, 3), jnp.float32),
-            area=jnp.asarray(z),
-            power=jnp.asarray(z),
-            cum_power=jnp.asarray(z),
-            total_power=jnp.float32(0),
-            count=jnp.int32(0),
-            alias_p=jnp.ones(1, jnp.float32),
-            alias_idx=jnp.zeros(1, jnp.int32),
-            packed=jnp.zeros((1, 16), jnp.float32),
-        )
-
-    # ------------------------------------------------------------------
-    # Environment light
-    # ------------------------------------------------------------------
-    env = scene.environment
-    if env.has_texture and scene.asset(env.texture_id) is not None:
-        tex: Texture = scene.asset(env.texture_id)
-        px = tex.as_float_rgba()[..., :3]
-    else:
-        px = np.asarray(env.constant_color, F).reshape(1, 1, 3)
-    px = (px @ idt.T * F(env.strength)).astype(F)
-    has_env = bool(px.max() > 0.0)
-    luma = np.maximum(px @ cs.luminance_weights(cs.BT709), 0.0).reshape(-1)
-    pdf, p, alias = build_alias_table(luma)
-    env_light = EnvironmentLight(
-        pixels=jnp.asarray(px),
-        pdf=jnp.asarray(pdf),
-        p=jnp.asarray(p),
-        alias=jnp.asarray(alias.astype(np.int32)),
-        count=jnp.int32(1 if has_env else 0),
-    )
+    tri_l = indices[light_tris]
+    lv0 = positions[tri_l[:, 0]]
+    lights = _light_table(lv0, positions[tri_l[:, 1]] - lv0,
+                          positions[tri_l[:, 2]] - lv0,
+                          emission[tri_mats[light_tris]])
+    env_light = _environment_light(scene, idt)
 
     atlas, atlas_table = _pack_atlas(tex_assets)
 
@@ -418,19 +481,6 @@ def flatten_scene(
     tri_shade[:, 13:15] = uvs[tri[:, 0]]
     tri_shade[:, 15:17] = uvs[tri[:, 1]]
     tri_shade[:, 17:19] = uvs[tri[:, 2]]
-
-    mat_packed = np.zeros((n_mat, 16), F)
-    mat_packed[:, 0:4] = base_color
-    mat_packed[:, 4:7] = emission
-    mat_packed[:, 7] = rough
-    mat_packed[:, 8] = metal
-    mat_packed[:, 9] = transm
-    mat_packed[:, 10] = ior
-    mat_packed[:, 11] = aniso
-    mat_packed[:, 12] = aniso_rot
-    mat_packed[:, 13] = coat
-    mat_packed[:, 14] = coat_rough
-    mat_packed[:, 15] = flags.astype(F)  # value float, see tri_geo note
 
     if bvh_host is not None:
         bn = np.zeros((bvh_host.num_nodes, 12), F)
@@ -462,23 +512,7 @@ def flatten_scene(
             tri_geo=jnp.asarray(tri_geo),
             tri_shade=jnp.asarray(tri_shade),
         ),
-        materials=MaterialTable(
-            base_color=jnp.asarray(base_color),
-            emission=jnp.asarray(emission),
-            roughness=jnp.asarray(rough),
-            metallic=jnp.asarray(metal),
-            transmission=jnp.asarray(transm),
-            ior=jnp.asarray(ior),
-            anisotropy=jnp.asarray(aniso),
-            anisotropy_rotation=jnp.asarray(aniso_rot),
-            clearcoat=jnp.asarray(coat),
-            clearcoat_roughness=jnp.asarray(coat_rough),
-            flags=jnp.asarray(flags),
-            textures=jnp.asarray(tex_table),
-            energy=jnp.asarray(energy),
-            energy_avg=jnp.asarray(energy_avg),
-            packed=jnp.asarray(mat_packed),
-        ),
+        materials=materials,
         lights=lights,
         env=env_light,
         camera=_camera_constants(scene, camera_node_id, settings),
@@ -489,6 +523,164 @@ def flatten_scene(
         **bvh_arrays,
     )
     return flat
+
+
+def _flatten_instanced(scene, camera_node_id, settings, instances,
+                       material_row, texture_entry, mat_ids, tex_assets,
+                       idt, accel_max_leaf, host_accel_out=None):
+    """Two-level TLAS/BLAS flatten (renderer_pt.cpp:653-749 equivalence):
+    geometry stays an OBJECT-space per-mesh library (stored once), each
+    instance contributes world-space BLAS node rows + a feature-transform
+    matrix (accel.tlas), and shading resolves per-(instance, slot)
+    materials and world transforms per lane (ops.hitdata)."""
+    from platinum_tpu.accel import get_builder
+    from platinum_tpu.accel.tlas import build_instanced_bvh
+    from platinum_tpu.accel.wide import build_wide_bvh
+    from platinum_tpu.render.types import InstanceTable
+
+    # ---- mesh library (unique meshes, object space, BVH-ordered) --------
+    mesh_index: dict = {}
+    mesh_list: list = []
+    for inst in instances:
+        if id(inst.mesh) not in mesh_index:
+            mesh_index[id(inst.mesh)] = len(mesh_list)
+            mesh_list.append(inst.mesh)
+
+    positions, normals, tangents, uvs, indices = [], [], [], [], []
+    tri_slots, mesh_tri_base, mesh_wides = [], [], []
+    v_off = t_off = 0
+    builder = get_builder()
+    for mesh in mesh_list:
+        p = mesh.positions
+        idx = mesh.indices.astype(np.int64)
+        bvh = builder(p[idx[:, 0]], p[idx[:, 1]], p[idx[:, 2]],
+                      max_leaf=accel_max_leaf)
+        idxm = idx[bvh.tri_order]
+        positions.append(p.astype(F))
+        normals.append(mesh.normals.astype(F))
+        tangents.append(mesh.tangents.astype(F))
+        uvs.append(mesh.uvs.astype(F))
+        indices.append(idxm + v_off)
+        tri_slots.append(mesh.material_slots[bvh.tri_order].astype(np.int32))
+        mesh_tri_base.append(t_off)
+        v0 = p[idxm[:, 0]]
+        tg = np.concatenate([v0, p[idxm[:, 1]] - v0, p[idxm[:, 2]] - v0,
+                             np.zeros((len(idxm), 3), F)], -1).astype(F)
+        mesh_wides.append(build_wide_bvh(bvh, tg,
+                                         leaf_cap=settings.wide_leaf_cap))
+        v_off += mesh.num_vertices
+        t_off += len(idxm)
+
+    positions = np.concatenate(positions)
+    normals = np.concatenate(normals)
+    tangents = np.concatenate(tangents)
+    uvs = np.concatenate(uvs)
+    indices = np.concatenate(indices).astype(np.int32)
+    tri_slots_l = np.concatenate(tri_slots)
+
+    # ---- per-instance tables --------------------------------------------
+    n_inst = len(instances)
+    max_slots = max(m.num_material_slots for m in mesh_list)
+    inst_rows = np.zeros((n_inst, 24), F)
+    slot_mat = np.zeros((n_inst, max_slots), F)
+    inst_mesh_mat = []
+    for i, inst in enumerate(instances):
+        mi = mesh_index[id(inst.mesh)]
+        m, nm = np.asarray(inst.transform, np.float64), inst.normal_transform
+        inst_mesh_mat.append((mi, m))
+        inst_rows[i, 0:9] = m[:3, :3].reshape(-1)
+        inst_rows[i, 9:18] = np.asarray(nm, np.float64).reshape(-1)
+        inst_rows[i, 18] = float(inst.node_id)   # studio picking AOV
+        for s in range(inst.mesh.num_material_slots):
+            mid = (inst.material_ids[s]
+                   if s < len(inst.material_ids) else None)
+            slot_mat[i, s] = material_row(mid)
+
+    ibvh = build_instanced_bvh(mesh_wides, mesh_tri_base, inst_mesh_mat)
+    if host_accel_out is not None:
+        host_accel_out.update(ibvh=ibvh, mesh_wides=mesh_wides,
+                              instances=list(instances))
+
+    materials, flags, emission = _material_arrays(
+        scene, mat_ids, idt, texture_entry)
+
+    # ---- lights: world-space emissive triangles per instance ------------
+    lv0, le1, le2, lem = [], [], [], []
+    for i, inst in enumerate(instances):
+        mi = mesh_index[id(inst.mesh)]
+        base = mesh_tri_base[mi]
+        n_tri = mesh_list[mi].num_triangles
+        slots = tri_slots_l[base:base + n_tri]
+        rows = slot_mat[i, np.clip(slots, 0, max_slots - 1)].astype(np.int64)
+        em = (flags[rows] & MAT_EMISSIVE) != 0
+        if not em.any():
+            continue
+        tr = indices[base:base + n_tri][em]
+        a = np.asarray(inst.transform, np.float64)
+        wp = positions[tr.reshape(-1)] @ a[:3, :3].T + a[:3, 3]
+        wp = wp.reshape(-1, 3, 3).astype(F)
+        lv0.append(wp[:, 0])
+        le1.append(wp[:, 1] - wp[:, 0])
+        le2.append(wp[:, 2] - wp[:, 0])
+        lem.append(emission[rows[em]])
+    if lv0:
+        lights = _light_table(np.concatenate(lv0), np.concatenate(le1),
+                              np.concatenate(le2), np.concatenate(lem))
+    else:
+        lights = _light_table(np.zeros((0, 3), F), np.zeros((0, 3), F),
+                              np.zeros((0, 3), F), np.zeros((0, 3), F))
+
+    env_light = _environment_light(scene, idt)
+    atlas, atlas_table = _pack_atlas(tex_assets)
+
+    # ---- packed per-triangle library rows -------------------------------
+    tri = indices
+    v0o = positions[tri[:, 0]]
+    t_cnt = len(tri)
+    tri_geo = np.zeros((t_cnt, 12), F)
+    tri_geo[:, 0:3] = v0o
+    tri_geo[:, 3:6] = positions[tri[:, 1]] - v0o
+    tri_geo[:, 6:9] = positions[tri[:, 2]] - v0o
+    tri_geo[:, 9] = tri_slots_l.astype(F)   # SLOT id (resolved per instance)
+    tri_shade = np.zeros((t_cnt, 24), F)
+    tri_shade[:, 0:3] = normals[tri[:, 0]]
+    tri_shade[:, 3:6] = normals[tri[:, 1]]
+    tri_shade[:, 6:9] = normals[tri[:, 2]]
+    tri_shade[:, 9:13] = tangents[tri[:, 0]]
+    tri_shade[:, 13:15] = uvs[tri[:, 0]]
+    tri_shade[:, 15:17] = uvs[tri[:, 1]]
+    tri_shade[:, 17:19] = uvs[tri[:, 2]]
+
+    return FlatScene(
+        geometry=Geometry(
+            positions=jnp.asarray(positions),
+            normals=jnp.asarray(normals),
+            tangents=jnp.asarray(tangents),
+            uvs=jnp.asarray(uvs),
+            indices=jnp.asarray(indices),
+            tri_material=jnp.asarray(tri_slots_l),
+            tri_geo=jnp.asarray(tri_geo),
+            tri_shade=jnp.asarray(tri_shade),
+        ),
+        materials=materials,
+        lights=lights,
+        env=env_light,
+        camera=_camera_constants(scene, camera_node_id, settings),
+        idt=jnp.asarray(idt),
+        atlas=jnp.asarray(atlas) if atlas is not None else None,
+        atlas_table=(jnp.asarray(atlas_table)
+                     if atlas_table is not None else None),
+        luts=_get_luts(),
+        wbvh_nodes=jnp.asarray(ibvh.nodes),
+        wbvh_tris=jnp.asarray(ibvh.tri_blocks),
+        wbvh_meta=jnp.asarray(ibvh.meta),
+        wbvh_slot=jnp.asarray(ibvh.tri_of_slot.astype(np.int32)),
+        instances=InstanceTable(
+            rows=jnp.asarray(inst_rows),
+            slot_mat=jnp.asarray(slot_mat),
+            feat=jnp.asarray(ibvh.inst_feat),
+        ),
+    )
 
 
 def _get_luts():

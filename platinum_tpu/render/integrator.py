@@ -66,8 +66,15 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     if settings.tracer in ("packet", "auto") and flat.wbvh_nodes is not None:
         from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
-        return make_packet_tracer(flat.wbvh_nodes, flat.wbvh_tris,
-                                  flat.wbvh_meta, flat.wbvh_slot)
+        return make_packet_tracer(
+            flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
+            inst_feat=(flat.instances.feat
+                       if flat.instances is not None else None))
+    if flat.instances is not None:
+        raise ValueError(
+            "instanced FlatScene requires the packet tracer "
+            "(settings.tracer='packet'/'auto'); rebuild with "
+            "instancing='off' for the brute/bvh tracers")
     if settings.tracer in ("bvh", "auto") and flat.bvh_skip is not None:
         from platinum_tpu.ops.traverse import make_bvh_tracer
 
@@ -146,7 +153,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             for _ in range(ALPHA_HOPS):
                 stream, u_a = stream.next_1d()
                 cand = rec.hit & active & ~settled
-                hd_l = interpolate_hit(geom, rec, o_eff, d)
+                hd_l = interpolate_hit(geom, rec, o_eff, d,
+                                       instances=flat.instances)
                 a_val = _alpha_value(flat, hd_l.mat_idx, hd_l.uv)
                 pas = cand & (u_a >= a_val)
                 settled = settled | (cand & ~pas)
@@ -157,6 +165,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                     tri=jnp.where(pas, rec2.tri, rec.tri),
                     bary=jnp.where(pas[:, None], rec2.bary, rec.bary),
                     hit=jnp.where(pas, rec2.hit, rec.hit),
+                    inst=(jnp.where(pas, rec2.inst, rec.inst)
+                          if rec.inst is not None else None),
                 )
         hit = rec.hit & active
         miss = active & ~rec.hit
@@ -176,7 +186,7 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                               atten * env_le * w_env[:, None], 0.0)
 
         # --- Hit shading data -----------------------------------------------
-        hd = interpolate_hit(geom, rec, o_eff, d)
+        hd = interpolate_hit(geom, rec, o_eff, d, instances=flat.instances)
         ctx = bsdf_mod.make_shading_context(
             mats, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table,
             slots=tex_slots,
@@ -304,7 +314,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                                          active=qry)
                     shit = srec.hit & qry
                     clear = clear | (qry & ~srec.hit)
-                    hd_s = interpolate_hit(geom, srec, org, wi_world)
+                    hd_s = interpolate_hit(geom, srec, org, wi_world,
+                                           instances=flat.instances)
                     a_s = _alpha_value(flat, hd_s.mat_idx, hd_s.uv)
                     stream, u_s = stream.next_1d()
                     blocked = shit & (u_s < a_s)

@@ -54,7 +54,9 @@ class Renderer:
                      settings: RenderSettings | None = None):
         """Latch settings, flatten the scene and reset accumulation."""
         self.settings = settings or self.settings or RenderSettings()
-        self.flat = flatten_scene(self.scene, camera_node_id, self.settings)
+        self._host_accel = {}
+        self.flat = flatten_scene(self.scene, camera_node_id, self.settings,
+                                  host_accel_out=self._host_accel)
         from platinum_tpu.render.flatten import analyze_features
 
         self._features = analyze_features(self.flat)
@@ -88,6 +90,54 @@ class Renderer:
         if self._accumulated >= s.spp:
             jax.block_until_ready(self._buckets)
             self._end_time = time.perf_counter()
+
+    def update_instance_transform(self, node_id: int, transform=None):
+        """Apply a transform edit WITHOUT rebuilding the BVH (instanced
+        scenes only — the reference's TLAS-refit path,
+        renderer_pt.cpp:653-749): the instance's world-space BLAS node rows
+        and feature matrix are recomputed and re-uploaded, the TLAS is
+        refit in place, and accumulation restarts. Raises for non-instanced
+        scenes (a baked soup needs a re-flatten)."""
+        import dataclasses
+
+        import numpy as np
+
+        from platinum_tpu.accel.tlas import update_instance_transform
+        from platinum_tpu.render.types import InstanceTable
+
+        if not self._host_accel or self.flat.instances is None:
+            raise ValueError("scene is not instanced; call start_render()")
+        if transform is not None:
+            self.scene.node(node_id).transform = transform
+        ibvh = self._host_accel["ibvh"]
+        wides = self._host_accel["mesh_wides"]
+        idx = None
+        for i, inst in enumerate(self._host_accel["instances"]):
+            if inst.node_id == node_id:
+                idx = i
+                break
+        if idx is None:
+            raise KeyError(f"node {node_id} is not a mesh instance")
+        m = self.scene.world_transform(node_id)
+        update_instance_transform(ibvh, wides, idx, m)
+        inst_rows = np.asarray(self.flat.instances.rows).copy()
+        inst_rows[idx, 0:9] = np.asarray(m[:3, :3], np.float64).reshape(-1)
+        nm = np.linalg.inv(np.asarray(m[:3, :3], np.float64)).T
+        inst_rows[idx, 9:18] = nm.reshape(-1)
+        self.flat = dataclasses.replace(
+            self.flat,
+            wbvh_nodes=jnp.asarray(ibvh.nodes),
+            instances=InstanceTable(
+                rows=jnp.asarray(inst_rows.astype(np.float32)),
+                slot_mat=self.flat.instances.slot_mat,
+                feat=jnp.asarray(ibvh.inst_feat),
+            ),
+        )
+        # progressive restart (accumulators are per-scene-state)
+        self._buckets = [jnp.zeros_like(b) for b in self._buckets]
+        self._accumulated = 0
+        self._start_time = time.perf_counter()
+        self._end_time = None
 
     def render_all(self):
         while not (self.status & RenderStatus.DONE):

@@ -109,12 +109,19 @@ def _studio_pass(flat: FlatScene, settings: RenderSettings,
 
     trace_closest, _ = make_tracers(flat, settings)
     rec = trace_closest(o, d, 1e-3, jnp.inf)
-    hd = interpolate_hit(flat.geometry, rec, o, d)
+    hd = interpolate_hit(flat.geometry, rec, o, d,
+                         instances=flat.instances)
     from platinum_tpu.ops import lookup
 
-    node_id = lookup.rows(
-        flat.geometry.tri_geo, jnp.where(rec.hit, rec.tri, 0)
-    )[..., 10].astype(jnp.int32)  # value float, see flatten
+    if flat.instances is not None:
+        # instanced path: the node id lives in the instance table
+        node_id = lookup.rows(
+            flat.instances.rows, jnp.where(rec.hit, rec.inst, 0)
+        )[..., 18].astype(jnp.int32)
+    else:
+        node_id = lookup.rows(
+            flat.geometry.tri_geo, jnp.where(rec.hit, rec.tri, 0)
+        )[..., 10].astype(jnp.int32)  # value float, see flatten
     node_id = jnp.where(rec.hit, node_id, -1)
 
     # Headlight shade: albedo * (0.25 + 0.75|n.d|), like the studio main pass

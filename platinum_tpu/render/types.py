@@ -133,6 +133,22 @@ class CameraConstants:
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
+class InstanceTable:
+    """Per-instance data for the two-level TLAS/BLAS path (accel.tlas):
+    geometry stays in object space, stored once per mesh; shading
+    transforms interpolated vectors per lane with these rows."""
+
+    # (I, 24) f32: rows pack [A row-major 9 | normal-matrix row-major 9 |
+    # pad 6] where A is the object->world linear part
+    rows: jnp.ndarray
+    # (I, S) f32 material-table row per (instance, material slot)
+    slot_mat: jnp.ndarray
+    # (I, 10, 128) f32 per-instance MT feature transforms (kernel input)
+    feat: jnp.ndarray
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
 class FlatScene:
     geometry: Geometry
     materials: MaterialTable
@@ -163,6 +179,11 @@ class FlatScene:
     atlas_table: jnp.ndarray | None = None    # (K, 5) i32: x, y, w, h, srgb
     # GGX energy-compensation LUTs (ops.luts.Luts pytree)
     luts: object | None = None
+    # Two-level instancing (None = instances baked to world space). When
+    # set, geometry/* arrays are the OBJECT-space mesh library,
+    # geometry.tri_material holds material SLOT ids, and wbvh_* hold the
+    # stitched TLAS + per-instance BLAS structure.
+    instances: InstanceTable | None = None
 
 
 @dataclass(frozen=True)
@@ -182,6 +203,11 @@ class RenderSettings:
     working_space: str = "BT709"
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh" | "packet"
+    instancing: str = "auto"       # "auto" | "on" | "off" — two-level
+                                   # TLAS/BLAS with shared per-mesh geometry
+                                   # ("auto": on when a mesh is instanced
+                                   # more than once and the packet tracer
+                                   # is in play)
     compact: bool = False          # wavefront population-control compaction
     accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
     wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
