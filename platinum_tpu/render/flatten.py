@@ -490,16 +490,34 @@ def flatten_scene(
         bn[:, 7] = bvh_host.tri_start.astype(np.int32).view(np.float32)
         bn[:, 8] = bvh_host.tri_count.astype(np.int32).view(np.float32)
         bvh_arrays["bvh_nodes"] = jnp.asarray(bn)
-        # 16-wide packed BVH for the Pallas packet tracer (accel.wide)
+        # 16-wide packed BVH for the Pallas packet tracer (accel.wide);
+        # beyond-VMEM scenes split into resident partitions (accel.partition)
         from platinum_tpu.accel.wide import build_wide_bvh
 
-        wide = build_wide_bvh(bvh_host, tri_geo,
-                              leaf_cap=settings.wide_leaf_cap)
-        bvh_arrays["wbvh_nodes"] = jnp.asarray(wide.nodes)
-        bvh_arrays["wbvh_tris"] = jnp.asarray(wide.tri_blocks)
-        bvh_arrays["wbvh_meta"] = jnp.asarray(wide.meta)
-        bvh_arrays["wbvh_slot"] = jnp.asarray(
-            wide.tri_of_slot.astype(np.int32))
+        if len(tri_geo) > settings.partition_tris:
+            from platinum_tpu.accel.partition import partition_bvh
+
+            parts = []
+            for part in partition_bvh(bvh_host, settings.partition_tris):
+                w = build_wide_bvh(
+                    part.bvh,
+                    tri_geo[part.tri_base:part.tri_base + part.tri_count],
+                    leaf_cap=settings.wide_leaf_cap)
+                slot_g = np.where(w.tri_of_slot >= 0,
+                                  w.tri_of_slot + part.tri_base, -1)
+                parts.append((jnp.asarray(w.nodes),
+                              jnp.asarray(w.tri_blocks),
+                              jnp.asarray(w.meta),
+                              jnp.asarray(slot_g.astype(np.int32))))
+            bvh_arrays["wbvh_parts"] = tuple(parts)
+        else:
+            wide = build_wide_bvh(bvh_host, tri_geo,
+                                  leaf_cap=settings.wide_leaf_cap)
+            bvh_arrays["wbvh_nodes"] = jnp.asarray(wide.nodes)
+            bvh_arrays["wbvh_tris"] = jnp.asarray(wide.tri_blocks)
+            bvh_arrays["wbvh_meta"] = jnp.asarray(wide.meta)
+            bvh_arrays["wbvh_slot"] = jnp.asarray(
+                wide.tri_of_slot.astype(np.int32))
 
     flat = FlatScene(
         geometry=Geometry(

@@ -63,6 +63,10 @@ def _alpha_value(flat: FlatScene, mat_idx, uv):
 
 
 def make_tracers(flat: FlatScene, settings: RenderSettings):
+    if settings.tracer in ("packet", "auto") and flat.wbvh_parts is not None:
+        from platinum_tpu.accel.partition import make_partitioned_tracer
+
+        return make_partitioned_tracer(flat.wbvh_parts)
     if settings.tracer in ("packet", "auto") and flat.wbvh_nodes is not None:
         from platinum_tpu.ops.pallas_trace import make_packet_tracer
 

@@ -172,6 +172,10 @@ class FlatScene:
     wbvh_tris: jnp.ndarray | None = None
     wbvh_meta: jnp.ndarray | None = None
     wbvh_slot: jnp.ndarray | None = None
+    # Beyond-VMEM scenes (accel.partition): tuple of per-partition
+    # (nodes, tris, meta, slot) wide-BVH array tuples, traced sequentially
+    # with carried best-t; None when the scene fits one resident structure
+    wbvh_parts: tuple | None = None
     # Texture atlas (None = no textures in scene). u8 storage encoding
     # when every source texture is 8-bit (4 B/texel; decoded per tap in
     # ops.texturing), f32 linear otherwise.
@@ -211,6 +215,8 @@ class RenderSettings:
     compact: bool = False          # wavefront population-control compaction
     accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
     wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
+    partition_tris: int = 350_000  # per-partition triangle budget (beyond-
+                                   # VMEM scenes split into resident chunks)
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property
