@@ -115,8 +115,35 @@ def main():
         width=512, height=512, spp=64, max_bounces=8, kernel="mis",
         sampler="pcg4d"), accel_min_tris=32)
 
-    # 2. MetalRoughSpheres-class: full GGX sweep + normal mapping, 256 spp
-    run("metalrough_spheres", make_spheres_scene(), RenderSettings(
+    # 2. MetalRoughSpheres-class: full GGX sweep + normal mapping, 256 spp.
+    # The scene is exported to .glb by our own tooling and loaded back
+    # through io/gltf.py, so the real glTF import path is in the benched
+    # configuration (VERDICT r2 #8; a committed fixture lives in
+    # tests/fixtures/spheres_grid3.glb).
+    def spheres_via_gltf():
+        import tempfile
+
+        from platinum_tpu.core.scene import Scene
+        from platinum_tpu.io.gltf import load_gltf
+        from platinum_tpu.tools.gltf_export import export_glb
+
+        scene, _ = make_spheres_scene()
+        path = os.path.join(tempfile.gettempdir(), "bench_spheres.glb")
+        export_glb(scene, path)
+        loaded = Scene()
+        load_gltf(loaded, path)
+        cams = loaded.get_cameras()
+        # env map texture isn't part of glTF: carry it over
+        loaded.environment = scene.environment
+        for aid in list(scene._assets):
+            a = scene.asset(aid)
+            if a is not None and type(a).__name__ == "Texture" and (
+                    scene.environment.texture_id == aid):
+                loaded.environment.texture_id = loaded.add_asset(
+                    a, retained=True)
+        return loaded, cams[0][0]
+
+    run("metalrough_spheres", spheres_via_gltf(), RenderSettings(
         width=512, height=512, spp=256, max_bounces=6, kernel="mis",
         sampler="pcg4d", tracer="packet"))
 

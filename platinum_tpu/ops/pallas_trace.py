@@ -53,11 +53,16 @@ PACKETS = 4           # interleaved 128-ray packets per kernel step
 LEAFQ = KERNEL_LEAFQ  # per-packet leaf-block queue capacity
 MT_DRAIN = 4          # leaf MT blocks intersected per drain batch
 POPS = 2              # nodes popped per packet per superstep (amortises the
-                      # fixed superstep serialisation over more visits)
-ORDERED = True        # near-first traversal: rank hit children by packet
-                      # tnear so closer subtrees are visited first (tighter
-                      # best-t culling); costs one full int32 sync per pop
-FEAT_SCRATCH = True   # MT ray features in VMEM scratch (False: registers)
+                      # fixed superstep serialisation over more visits;
+                      # measured +11%% incoherent on v5e vs POPS=1)
+ORDERED = False       # near-first traversal: rank hit children by packet
+                      # tnear so closer subtrees are visited first. Measured
+                      # NET-NEGATIVE on v5e (the extra full-int32 sync per
+                      # pop costs more than the visit reduction); kept as a
+                      # tested option for future hardware
+FEAT_SCRATCH = False  # MT ray features in VMEM scratch (True frees ~10
+                      # vregs/packet for high-packet-count experiments;
+                      # measured ~3%% slower at PACKETS=4)
 
 
 def _ctz16(x):

@@ -73,3 +73,19 @@ def global_mesh(sample_axis: int | None = None) -> Mesh:
 def is_coordinator() -> bool:
     """True on the process that should write outputs / checkpoints."""
     return jax.process_index() == 0
+
+
+def render_multihost(flat, settings, features=None, mesh: Mesh | None = None):
+    """Render across every process's devices on the global mesh.
+
+    Each process feeds its addressable shards; XLA inserts the DCN
+    collectives for the spp combine. Every rank returns the (replicated)
+    full image — write it only from is_coordinator()."""
+    from platinum_tpu.parallel.shard import render_sharded
+
+    if features is None:
+        from platinum_tpu.render.flatten import analyze_features
+
+        features = analyze_features(flat)
+    mesh = mesh or global_mesh()
+    return render_sharded(flat, settings, mesh, features=features)

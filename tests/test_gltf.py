@@ -180,3 +180,71 @@ def test_gltf_renders(tmp_path):
     img = np.asarray(integrator.render(flat, settings))
     assert np.isfinite(img).all()
     assert img.mean() > 0.05
+
+
+def test_glb_export_import_roundtrip(tmp_path):
+    """tools/gltf_export writes standard .glb our loader reads back:
+    geometry, materials (incl. KHR extensions), textures, cameras."""
+    import numpy as np
+
+    from platinum_tpu.app.scenes import make_spheres_scene
+    from platinum_tpu.core.material import TextureSlot
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.io.gltf import load_gltf
+    from platinum_tpu.tools.gltf_export import export_glb
+
+    scene, _ = make_spheres_scene(grid=3)
+    path = str(tmp_path / "rt.glb")
+    export_glb(scene, path)
+    s2 = Scene()
+    load_gltf(s2, path)
+
+    i1, i2 = scene.get_instances(), s2.get_instances()
+    assert len(i1) == len(i2)
+    assert (sum(i.mesh.num_triangles for i in i1)
+            == sum(i.mesh.num_triangles for i in i2))
+
+    def bounds(insts):
+        lo, hi = np.full(3, 1e30), np.full(3, -1e30)
+        for i in insts:
+            m = np.asarray(i.transform)
+            wp = i.mesh.positions @ m[:3, :3].T + m[:3, 3]
+            lo, hi = np.minimum(lo, wp.min(0)), np.maximum(hi, wp.max(0))
+        return lo, hi
+
+    (lo1, hi1), (lo2, hi2) = bounds(i1), bounds(i2)
+    np.testing.assert_allclose(lo1, lo2, atol=1e-4)
+    np.testing.assert_allclose(hi1, hi2, atol=1e-4)
+
+    # the ground's normal map survives (as a linear texture)
+    found = False
+    for inst in i2:
+        for mid in inst.material_ids:
+            m = s2.resolve_material(mid)
+            if m and TextureSlot.NORMAL in m.textures:
+                tex = s2.asset(m.textures[TextureSlot.NORMAL])
+                assert tex.data.shape == (128, 128, 4)
+                found = True
+    assert found
+    assert len(s2.get_cameras()) == 1
+
+    # roughness/metallic sweep preserved
+    r1 = sorted(round(float(scene.resolve_material(m).roughness), 3)
+                for i in i1 for m in i.material_ids if m is not None)
+    r2 = sorted(round(float(s2.resolve_material(m).roughness), 3)
+                for i in i2 for m in i.material_ids if m is not None)
+    assert r1 == r2
+
+
+def test_committed_glb_fixture_loads():
+    """The checked-in benchmark fixture parses through the loader."""
+    import os
+
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.io.gltf import load_gltf
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "spheres_grid3.glb")
+    s = Scene()
+    load_gltf(s, path)
+    assert sum(i.mesh.num_triangles for i in s.get_instances()) > 10000

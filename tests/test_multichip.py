@@ -4,8 +4,11 @@ Run in subprocesses because the axon sitecustomize pins this interpreter's
 JAX backend to the TPU at startup (see conftest)."""
 
 import json
+import os
 
 from conftest import run_in_cpu_mesh
+
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_dryrun_multichip(cpu_mesh_env):
@@ -44,6 +47,94 @@ assert err < 1e-5, err
 """
     out = run_in_cpu_mesh(code, cpu_mesh_env)
     assert "MAXERR" in out
+
+
+def test_sharded_packet_tracer_matches_single_device(cpu_mesh_env):
+    """VERDICT r2 #7a: the FLAGSHIP path (Pallas packet tracer, interpret
+    mode on CPU) under tile+sample sharding must match the unsharded
+    render on the same scene — not just the brute-force path."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from platinum_tpu.app.scenes import make_spheres_scene
+from platinum_tpu.render.flatten import analyze_features, flatten_scene
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.render import integrator
+from platinum_tpu.parallel.shard import render_sharded
+
+scene, cam = make_spheres_scene(grid=2)
+settings = RenderSettings(width=16, height=16, spp=2, max_bounces=3,
+                          sampler="pcg4d", tracer="packet")
+flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+assert flat.wbvh_nodes is not None   # packet path engaged
+feats = analyze_features(flat)
+
+ref = np.asarray(integrator.render(flat, settings, features=feats))
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("sample", "tile"))
+img = np.asarray(render_sharded(flat, settings, mesh, features=feats))
+
+err = np.abs(img - ref).max()
+print("MAXERR", err)
+assert err < 1e-5, err
+"""
+    out = run_in_cpu_mesh(code, cpu_mesh_env, timeout=1200)
+    assert "MAXERR" in out
+
+
+def test_two_process_distributed_cpu(cpu_mesh_env):
+    """VERDICT r2 #7b: a true 2-process jax.distributed run on CPU driving
+    parallel.multihost — each process owns 4 virtual devices, renders its
+    pixel shard, and the cross-process psum produces the full image on
+    both."""
+    import subprocess
+    import sys
+
+    code = """
+import os, sys
+import numpy as np, jax
+proc = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:49731",
+                           num_processes=2, process_id=proc)
+import jax.numpy as jnp
+from platinum_tpu.app.scenes import make_cornell_scene
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.parallel import multihost
+
+scene, cam = make_cornell_scene()
+settings = RenderSettings(width=16, height=16, spp=2, max_bounces=2,
+                          sampler="pcg4d")
+flat = flatten_scene(scene, cam, settings)
+img = multihost.render_multihost(flat, settings)
+arr = np.asarray(img)
+print(f"P{proc} MEAN", float(arr.mean()), arr.shape)
+"""
+    env = dict(cpu_mesh_env)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8",
+        "--xla_force_host_platform_device_count=4"))
+    import os
+
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(p)],
+                              env=env, cwd=REPO_DIR,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for p in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"stdout:\n{out}\nstderr:\n{err[-2000:]}"
+    m0 = float(outs[0][1].split("MEAN")[1].split()[0])
+    m1 = float(outs[1][1].split("MEAN")[1].split()[0])
+    assert abs(m0 - m1) < 1e-6, (m0, m1)   # both ranks see the full image
+    assert m0 > 0.01
 
 
 def test_sharded_gmon_matches_single_device(cpu_mesh_env):
