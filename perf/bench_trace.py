@@ -41,7 +41,7 @@ def _timeit(fn, n_iters, repeats=3):
 
 def main():
     variants = sys.argv[1:] or ["1,0", "1,1", "2,0", "2,1", "3,1"]
-    # variant = "pops,ordered[,feat_scratch]"
+    # variant = "pops,ordered[,feat_scratch[,packets]]"
     size = 512
     settings = RenderSettings(width=size, height=size, spp=1,
                               instancing="off")
@@ -68,10 +68,11 @@ def main():
         pops, ordered = parts[0], parts[1]
         import platinum_tpu.ops.pallas_trace as pt
         pt.FEAT_SCRATCH = bool(parts[2]) if len(parts) > 2 else True
+        packets = parts[3] if len(parts) > 3 else None
         pt._build_call.cache_clear()
         tc, ta = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
-            pops=pops, ordered=bool(ordered))
+            pops=pops, ordered=bool(ordered), packets=packets)
         jc = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf).t)
         ja = jax.jit(lambda o, d: ta(o, d, 1e-3, 60.0))
         t0 = time.perf_counter()
@@ -83,7 +84,7 @@ def main():
         res["any_inc"] = _timeit(lambda i: ja(oi, di), 4)
         line = {
             "pops": pops, "ordered": ordered, "fscr": int(pt.FEAT_SCRATCH),
-            "compile_s": round(compile_s, 1),
+            "pk": packets or pt.PACKETS, "compile_s": round(compile_s, 1),
         }
         for k, v in res.items():
             line[k + "_ms"] = round(v * 1e3, 2)

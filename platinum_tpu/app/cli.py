@@ -144,6 +144,8 @@ def cmd_render(args):
 
 def cmd_preview(args):
     """Studio viewport preview: shaded frame + optional pick at a pixel."""
+    if getattr(args, "interactive", False):
+        return cmd_preview_interactive(args)
     from platinum_tpu.render.studio import StudioRenderer
     from platinum_tpu.io.png import write_png
 
@@ -159,6 +161,103 @@ def cmd_preview(args):
         print(f"node at ({x},{y}): {studio.readback_object_id_at(x, y)}")
     write_png(args.output, img)
     print(args.output)
+
+
+def cmd_preview_interactive(args):
+    """Interactive editor session (the capability of the reference's main
+    loop, frontend.cpp:183-285 + Store's deferred actions): stdin commands
+    drive the studio camera, picking and selection between frames, and
+    `render` runs a progressive PT re-render from the current view whose
+    accumulation restarts on any edit. Commands:
+
+      orbit DX DY | pan DX DY | zoom D     camera controls
+      pick X Y                             object id under a pixel
+      select ID                            set selection (outlined)
+      frame                                write a studio frame
+      spp N                                set progressive sample budget
+      render [N]                           progressive PT render (N spp),
+                                           writing the image as it converges
+      save PATH                            write the current image
+      quit                                 exit
+    """
+    from platinum_tpu.io.png import write_png
+    from platinum_tpu.render.renderer import Renderer, RenderStatus
+    from platinum_tpu.render.studio import StudioRenderer
+    from platinum_tpu.render.types import RenderSettings
+
+    scene, cam_id = _load_scene(args.scene)
+    cam_id = _ensure_camera(scene, cam_id, args)
+    w, h = (int(v) for v in args.size.split("x"))
+    studio = StudioRenderer(scene, width=w, height=h)
+    m = scene.world_transform(cam_id)
+    studio.camera_to(m[:3, 3], m[:3, 3] - m[:3, 2] * 10.0)
+    selected = -1
+    spp = 16
+    last = None
+
+    def emit(img):
+        nonlocal last
+        last = img
+        write_png(args.output, img)
+        print(f"frame {args.output}", flush=True)
+
+    emit(studio.render(selected_node=selected))
+    print("ready", flush=True)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        cmd, rest = parts[0], parts[1:]
+        try:
+            if cmd == "quit":
+                break
+            elif cmd == "orbit":
+                studio.handle_orbit(float(rest[0]), float(rest[1]))
+                emit(studio.render(selected_node=selected))
+            elif cmd == "pan":
+                studio.handle_pan(float(rest[0]), float(rest[1]))
+                emit(studio.render(selected_node=selected))
+            elif cmd == "zoom":
+                studio.handle_zoom(float(rest[0]))
+                emit(studio.render(selected_node=selected))
+            elif cmd == "pick":
+                nid = studio.readback_object_id_at(int(rest[0]), int(rest[1]))
+                print(f"picked {nid}", flush=True)
+            elif cmd == "select":
+                selected = int(rest[0])
+                emit(studio.render(selected_node=selected))
+            elif cmd == "frame":
+                emit(studio.render(selected_node=selected))
+            elif cmd == "spp":
+                spp = int(rest[0])
+                print(f"spp {spp}", flush=True)
+            elif cmd == "save":
+                if last is not None:
+                    write_png(rest[0], last)
+                print(f"saved {rest[0]}", flush=True)
+            elif cmd == "render":
+                n = int(rest[0]) if rest else spp
+                cam_node = studio.camera.attach(scene)
+                renderer = Renderer(scene)
+                renderer.start_render(cam_node, RenderSettings(
+                    width=w, height=h, spp=n, max_bounces=8,
+                    sampler="pcg4d"))
+                step = max(1, n // 4)
+                while not (renderer.status & RenderStatus.DONE):
+                    for _ in range(step):
+                        renderer.render()
+                        if renderer.status & RenderStatus.DONE:
+                            break
+                    emit(renderer.readback())
+                    print(f"progress {renderer.render_progress:.2f}",
+                          flush=True)
+                print(f"rendered {n} spp in {renderer.render_time:.2f}s",
+                      flush=True)
+            else:
+                print(f"unknown command: {cmd}", flush=True)
+        except (ValueError, IndexError) as e:
+            print(f"error: {e}", flush=True)
+    print("bye", flush=True)
 
 
 def cmd_bake_luts(args):
@@ -221,6 +320,9 @@ def build_parser():
     pv.add_argument("--size", default="960x540")
     pv.add_argument("--select", type=int, default=-1)
     pv.add_argument("--pick", default=None, help="x,y pixel to pick")
+    pv.add_argument("--interactive", action="store_true",
+                    help="stdin-driven editor session (orbit/pan/zoom/"
+                         "pick/select/render)")
     pv.set_defaults(func=cmd_preview)
 
     b = sub.add_parser("bake-luts", help="regenerate GGX energy LUTs")

@@ -416,21 +416,30 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 sp3.append(spx)
                 lqs.append(lqx)
 
-            # --- Phase C: drain leaf queues, MT_DRAIN blocks per batch ----
-            for p in range(P):
-                def drain_cond(c3):
-                    return c3[0] > 0
+            # --- Phase C: drain ALL packets' leaf queues in ONE loop ------
+            # (per-packet drain loops would serialise P times the loop
+            # back-edge + MT latency; one fused loop issues P*MT_DRAIN
+            # independent MXU chains per iteration, and with typical ~1
+            # block/packet/superstep usually runs a single iteration)
+            def drain_cond(c3):
+                live = c3[0] > 0
+                for p in range(1, P):
+                    live = live | (c3[p] > 0)
+                return live
 
-                def drain_body(c3, p=p, best0=bests[p]):
-                    q = c3[0]
+            def drain_body(c3):
+                qs = list(c3)
+                for p in range(P):
+                    q = qs[p]
                     for j in range(MT_DRAIN):
                         valid = j < q
                         bidx = lqueue[p * LEAFQ + jnp.maximum(q - 1 - j, 0)]
-                        mt_block(p, jnp.where(valid, bidx, 0), best0,
+                        mt_block(p, jnp.where(valid, bidx, 0), bests[p],
                                  jnp.broadcast_to(valid, (1, LANES)))
-                    return (jnp.maximum(q - MT_DRAIN, 0),)
+                    qs[p] = jnp.maximum(q - MT_DRAIN, 0)
+                return tuple(qs)
 
-                jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
+            jax.lax.while_loop(drain_cond, drain_body, tuple(lqs))
 
             if any_hit:
                 acc = jnp.zeros((1, LANES), jnp.float32)
@@ -464,9 +473,10 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 @functools.lru_cache(maxsize=None)
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 interpret: bool, pops: int = None, ordered: bool = None,
-                n_inst: int = 0):
+                n_inst: int = 0, packets: int = None):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
+    PACKETS = packets if packets is not None else globals()["PACKETS"]
     instanced = n_inst > 0
     kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced)
     sr = 5 if instanced else 4
@@ -548,9 +558,10 @@ def _ray_sort_key(o, d, lo, inv_extent):
     return (octant << 21) | morton
 
 
-def _pack_rays(o, d, tmin, tmax, active):
+def _pack_rays(o, d, tmin, tmax, active, PACKETS=None):
     """(R,3) rays -> (G, PACKETS, 8, 128) packet groups; dead/padding lanes
     get tmax < tmin."""
+    PACKETS = PACKETS if PACKETS is not None else globals()["PACKETS"]
     r = o.shape[0]
     g = -(-r // (PACKETS * LANES))
     pad = g * PACKETS * LANES - r
@@ -579,7 +590,8 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        sort: bool | None = None,
                        pops: int | None = None,
                        ordered: bool | None = None,
-                       inst_feat=None):
+                       inst_feat=None,
+                       packets: int | None = None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -625,7 +637,7 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     def _run(o, d, tmin, tmax, active, any_hit):
         r = o.shape[0]
         perm = None
-        if sort and r >= 2 * PACKETS * LANES:
+        if sort and r >= 2 * (packets or PACKETS) * LANES:
             key = _ray_sort_key(o, d, scene_lo, inv_extent)
             if active is not None:
                 # dead rays to the back: all-dead packets exit at the root
@@ -636,10 +648,11 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
             tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))[perm]
             if active is not None:
                 active = active[perm]
-        rays, r, g = _pack_rays(o, d, tmin, tmax, active)
+        pk = packets if packets is not None else PACKETS
+        rays, r, g = _pack_rays(o, d, tmin, tmax, active, pk)
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
-                           pops, ordered, n_inst)
-        flat = lambda x: x.reshape(g * PACKETS * LANES)[:r]
+                           pops, ordered, n_inst, pk)
+        flat = lambda x: x.reshape(g * pk * LANES)[:r]
         if n_inst:
             t, tri, u, v, inst = call(wmeta, rays, wnodes_t, wtris, inst_feat)
             inst = flat(inst)

@@ -87,9 +87,28 @@ class Renderer:
             features=self._features,
         )
         self._accumulated += 1
+        # structured telemetry (PLATINUM_TPU_LOG=1): spp/sec + paths/sec
+        from platinum_tpu.utils import telemetry
+
+        if telemetry.enabled():
+            now = time.perf_counter()
+            if (self._accumulated == s.spp
+                    or now - getattr(self, "_last_log", 0.0) > 2.0):
+                self._last_log = now
+                el = max(now - self._start_time, 1e-9)
+                sps = self._accumulated / el
+                telemetry.log_event(
+                    "render_step", spp_done=self._accumulated, spp=s.spp,
+                    elapsed_s=el, spp_per_sec=sps,
+                    paths_per_sec=sps * s.num_pixels,
+                    progress=self._accumulated / s.spp)
         if self._accumulated >= s.spp:
             jax.block_until_ready(self._buckets)
             self._end_time = time.perf_counter()
+            from platinum_tpu.utils import telemetry as _t
+
+            _t.log_event("render_done", spp=s.spp,
+                         elapsed_s=self._end_time - self._start_time)
 
     def update_instance_transform(self, node_id: int, transform=None):
         """Apply a transform edit WITHOUT rebuilding the BVH (instanced

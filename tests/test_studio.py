@@ -41,3 +41,37 @@ def test_studio_camera_controls():
 
     cam.pan(10, 0)
     assert not np.allclose(cam.target, [0, 0, 0])
+
+
+def test_interactive_preview_session(tmp_path):
+    """VERDICT r2 #9: the stdin-driven interactive session — orbit edits
+    between frames, picking, and a progressive PT re-render from the
+    edited view (capability of frontend.cpp:183-285)."""
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "view.png")
+    save = str(tmp_path / "kept.png")
+    script = "\n".join([
+        "pick 16 16",
+        "orbit 0.4 0.1",
+        "zoom -2.0",
+        "select 1",
+        "render 2",
+        f"save {save}",
+        "quit",
+    ]) + "\n"
+    proc = subprocess.run(
+        [sys.executable, "-m", "platinum_tpu.app.cli", "preview", "cornell",
+         "--interactive", "--size", "64x64", "-o", out],
+        input=script, capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ready" in proc.stdout
+    assert "picked" in proc.stdout
+    assert "rendered 2 spp" in proc.stdout
+    assert proc.stdout.count("frame ") >= 5   # one per edit + progressive
+    assert "bye" in proc.stdout
+    assert os.path.exists(out) and os.path.exists(save)
