@@ -188,10 +188,18 @@ def main():
         print("# " + json.dumps(r), flush=True)
 
     # 4. HEADLINE: Sponza-class (colonnade, 271k tris, 216 lights), deep BVH,
-    # wavefront compaction stressed
+    # wavefront compaction stressed. instancing="off" is the measured-faster
+    # configuration for the headline (the baked soup avoids the per-leaf
+    # instance feature transform, ~10%); the instanced path is benched below.
     head = run("sponza_class_512", make_colonnade_scene(), RenderSettings(
         width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True))
+        sampler="pcg4d", tracer="packet", compact=True, instancing="off"))
+
+    # 4b. The same scene through the two-level TLAS/BLAS instancing path
+    # (geometry memory O(meshes), transform edits refit without rebuild)
+    run("sponza_instanced_512", make_colonnade_scene(), RenderSettings(
+        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+        sampler="pcg4d", tracer="packet", compact=True, instancing="on"))
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

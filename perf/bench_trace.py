@@ -69,6 +69,7 @@ def main():
         import platinum_tpu.ops.pallas_trace as pt
         pt.FEAT_SCRATCH = bool(parts[2]) if len(parts) > 2 else True
         packets = parts[3] if len(parts) > 3 else None
+        pt.FUSED_DRAIN = bool(parts[4]) if len(parts) > 4 else True
         pt._build_call.cache_clear()
         tc, ta = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
@@ -84,7 +85,8 @@ def main():
         res["any_inc"] = _timeit(lambda i: ja(oi, di), 4)
         line = {
             "pops": pops, "ordered": ordered, "fscr": int(pt.FEAT_SCRATCH),
-            "pk": packets or pt.PACKETS, "compile_s": round(compile_s, 1),
+            "pk": packets or pt.PACKETS, "fd": int(pt.FUSED_DRAIN),
+            "compile_s": round(compile_s, 1),
         }
         for k, v in res.items():
             line[k + "_ms"] = round(v * 1e3, 2)

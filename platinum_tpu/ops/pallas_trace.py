@@ -63,6 +63,11 @@ ORDERED = False       # near-first traversal: rank hit children by packet
 FEAT_SCRATCH = False  # MT ray features in VMEM scratch (True frees ~10
                       # vregs/packet for high-packet-count experiments;
                       # measured ~3%% slower at PACKETS=4)
+FUSED_DRAIN = False   # drain all packets' leaf queues in one loop. Measured
+                      # NET-NEGATIVE on v5e for incoherent waves (leaf-queue
+                      # imbalance makes drained packets pay idle predicated
+                      # matmuls: 1.34 vs 1.72 Mrays/s); per-packet loops by
+                      # default, fused kept as a tested option
 
 
 def _ctz16(x):
@@ -416,30 +421,47 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 sp3.append(spx)
                 lqs.append(lqx)
 
-            # --- Phase C: drain ALL packets' leaf queues in ONE loop ------
-            # (per-packet drain loops would serialise P times the loop
-            # back-edge + MT latency; one fused loop issues P*MT_DRAIN
-            # independent MXU chains per iteration, and with typical ~1
-            # block/packet/superstep usually runs a single iteration)
-            def drain_cond(c3):
-                live = c3[0] > 0
-                for p in range(1, P):
-                    live = live | (c3[p] > 0)
-                return live
+            # --- Phase C: drain the leaf queues -------------------------
+            if FUSED_DRAIN:
+                # one loop over ALL packets: fewer back-edges, P*MT_DRAIN
+                # independent MXU chains per iteration (imbalanced queues
+                # pay idle predicated matmuls on drained packets)
+                def drain_cond(c3):
+                    live = c3[0] > 0
+                    for p in range(1, P):
+                        live = live | (c3[p] > 0)
+                    return live
 
-            def drain_body(c3):
-                qs = list(c3)
+                def drain_body(c3):
+                    qs = list(c3)
+                    for p in range(P):
+                        q = qs[p]
+                        for j in range(MT_DRAIN):
+                            valid = j < q
+                            bidx = lqueue[p * LEAFQ
+                                          + jnp.maximum(q - 1 - j, 0)]
+                            mt_block(p, jnp.where(valid, bidx, 0), bests[p],
+                                     jnp.broadcast_to(valid, (1, LANES)))
+                        qs[p] = jnp.maximum(q - MT_DRAIN, 0)
+                    return tuple(qs)
+
+                jax.lax.while_loop(drain_cond, drain_body, tuple(lqs))
+            else:
                 for p in range(P):
-                    q = qs[p]
-                    for j in range(MT_DRAIN):
-                        valid = j < q
-                        bidx = lqueue[p * LEAFQ + jnp.maximum(q - 1 - j, 0)]
-                        mt_block(p, jnp.where(valid, bidx, 0), bests[p],
-                                 jnp.broadcast_to(valid, (1, LANES)))
-                    qs[p] = jnp.maximum(q - MT_DRAIN, 0)
-                return tuple(qs)
+                    def drain_cond(c3):
+                        return c3[0] > 0
 
-            jax.lax.while_loop(drain_cond, drain_body, tuple(lqs))
+                    def drain_body(c3, p=p, best0=bests[p]):
+                        q = c3[0]
+                        for j in range(MT_DRAIN):
+                            valid = j < q
+                            bidx = lqueue[p * LEAFQ
+                                          + jnp.maximum(q - 1 - j, 0)]
+                            mt_block(p, jnp.where(valid, bidx, 0), best0,
+                                     jnp.broadcast_to(valid, (1, LANES)))
+                        return (jnp.maximum(q - MT_DRAIN, 0),)
+
+                    jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
 
             if any_hit:
                 acc = jnp.zeros((1, LANES), jnp.float32)
