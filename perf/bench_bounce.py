@@ -67,7 +67,7 @@ def main():
     ctx = jax.jit(lambda: bsdf_mod.make_shading_context(
         flat.materials, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table,
         slots=tex_slots))()
-    jax.block_until_ready(ctx.base_color)
+    jax.block_until_ready(ctx.albedo)
 
     def timed(name, fn, pick):
         f = jax.jit(fn)
@@ -79,17 +79,17 @@ def main():
           lambda x: x.pos)
     timed("shading_ctx", lambda: bsdf_mod.make_shading_context(
         flat.materials, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table,
-        slots=tex_slots), lambda x: x.base_color)
+        slots=tex_slots), lambda x: x.albedo)
     timed("bsdf_sample", lambda: bsdf_mod.sample(
         ctx, hd.wo, r2, rc, luts=flat.luts, multiscatter=True,
-        features=feats), lambda x: x.f)
+        features=feats).f, lambda x: x)
     wi = jnp.asarray(rng.normal(0, 1, (n, 3)).astype(np.float32))
     wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
     timed("bsdf_evaluate", lambda: bsdf_mod.evaluate(
         ctx, hd.wo, wi, luts=flat.luts, multiscatter=True,
-        features=feats), lambda x: x.f)
+        features=feats).f, lambda x: x)
     timed("area_light_sample", lambda: lights_mod.sample_area_light(
-        geom, flat.lights, hd.pos, rc[:, 0], r2[:, :2]), lambda x: x.li)
+        geom, flat.lights, hd.pos, rc[:, 0], r2[:, :2]).li, lambda x: x)
     timed("env_pdf", lambda: lights_mod.env_pdf_of_dir(flat.env, d),
           lambda x: x)
     timed("trace_closest", lambda: tc(o, d, 1e-3, jnp.inf).t, lambda x: x)

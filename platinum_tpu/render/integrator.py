@@ -86,8 +86,15 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     return make_brute_tracer(flat.geometry)
 
 
+def _fuse_shadow_active(settings: RenderSettings, features: frozenset) -> bool:
+    return (settings.fuse_shadow and settings.kernel == "mis"
+            and "alpha" not in features
+            and ("env" in features or "area_lights" in features))
+
+
 def init_path_state(flat: FlatScene, settings: RenderSettings,
-                    sample_idx: jnp.ndarray, pixel_ids=None):
+                    sample_idx: jnp.ndarray, pixel_ids=None,
+                    with_shadow_state: bool = False):
     """Camera rays + fresh path state for one sample of every pixel."""
     pix = (jnp.arange(settings.num_pixels, dtype=jnp.uint32)
            if pixel_ids is None else pixel_ids.astype(jnp.uint32))
@@ -113,6 +120,7 @@ def init_path_state(flat: FlatScene, settings: RenderSettings,
         bounce=jnp.int32(0),
         rays=jnp.float32(0.0),
         slot=jnp.arange(n, dtype=jnp.int32),  # lane -> output slot
+        **(_empty_shadow(n) if with_shadow_state else {}),
     )
 
 
@@ -133,6 +141,12 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
              else (1.0 if env_on else 0.0))
 
     alpha_on = "alpha" in features
+    # Deferred shadow rays: bounce k's NEE occlusion rides bounce k+1's
+    # closest wave as extra lanes (one sorted launch per bounce instead of
+    # two); the residual pending shadow is resolved by resolve_pending
+    # after the loop. Not combined with the alpha any-hit path (cutout
+    # shadows need their own multi-hop loop).
+    fuse_shadow = _fuse_shadow_active(settings, features)
     tex_slots = frozenset(
         int(f[len("texslot"):]) for f in features if f.startswith("texslot"))
     from platinum_tpu.ops.intersect import HitRecord as _HR
@@ -143,7 +157,20 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         bounce = s["bounce"]
         n = o.shape[0]
 
-        rec = trace_closest(o, d, RAY_EPS, jnp.inf, active=active)
+        if fuse_shadow:
+            o2 = jnp.concatenate([o, s["sh_org"]])
+            d2 = jnp.concatenate([d, s["sh_dir"]])
+            tmax2 = jnp.concatenate([jnp.full((n,), jnp.inf),
+                                     s["sh_dist"] - RAY_EPS])
+            act2 = jnp.concatenate([active, s["sh_do"]])
+            rec2 = trace_closest(o2, d2, RAY_EPS, tmax2, active=act2)
+            rec = _HR(t=rec2.t[:n], tri=rec2.tri[:n], bary=rec2.bary[:n],
+                      hit=rec2.hit[:n],
+                      inst=(rec2.inst[:n] if rec2.inst is not None else None))
+            sh_clear = s["sh_do"] & ~rec2.hit[n:]
+            L = L + jnp.where(sh_clear[:, None], s["sh_ld"], 0.0)
+        else:
+            rec = trace_closest(o, d, RAY_EPS, jnp.inf, active=active)
         o_eff = o
         if alpha_on:
             # Any-hit alpha loop (kernel.metal:621-639 semantics): a hit on
@@ -329,6 +356,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                     rem = jnp.where(pas_s, rem - srec.t, rem)
                 # unresolved after the hop budget: conservative (occluded)
                 occluded = occluded | (do_nee & ~clear & ~occluded)
+            elif fuse_shadow:
+                occluded = None   # resolved by next bounce's combined wave
             else:
                 occluded = trace_any(hd.pos, wi_world, RAY_EPS,
                                      dist - RAY_EPS, active=do_nee)
@@ -336,7 +365,16 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                 li * ev.f * jnp.abs(wi_local[..., 2:3])
                 / jnp.maximum(p_light * l_pdf + ev.pdf, 1e-20)[..., None]
             )
-            L = L + jnp.where((do_nee & ~occluded)[:, None], atten * ld, 0.0)
+            if fuse_shadow:
+                sh_next = dict(
+                    sh_org=hd.pos, sh_dir=wi_world,
+                    sh_dist=jnp.where(do_nee, dist, 0.0),
+                    sh_ld=jnp.where(do_nee[:, None], atten * ld, 0.0),
+                    sh_do=do_nee,
+                )
+            else:
+                L = L + jnp.where((do_nee & ~occluded)[:, None],
+                                  atten * ld, 0.0)
 
         # --- Continue the path ------------------------------------------------
         cont = (samp.flags & (bsdf_mod.SAMPLE_REFLECTED | bsdf_mod.SAMPLE_TRANSMITTED)) != 0
@@ -363,7 +401,7 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             jnp.linalg.norm(wi_world_next, axis=-1, keepdims=True), 1e-20
         )
 
-        return dict(
+        out = dict(
             o=jnp.where(hit[:, None], hd.pos, o),
             d=jnp.where(hit[:, None], wi_world_next, d),
             L=L,
@@ -379,8 +417,32 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             + jnp.sum(active.astype(jnp.float32)) * (2.0 if use_mis else 1.0),
             slot=s["slot"],
         )
+        if fuse_shadow:
+            out.update(sh_next if (use_mis and (env_on or lights_on))
+                       else _empty_shadow(n))
+        return out
 
+    def resolve_pending(s):
+        """Settle any still-pending deferred shadow rays (end of loop /
+        before compaction drops lanes)."""
+        if not fuse_shadow:
+            return s
+        occ = trace_any(s["sh_org"], s["sh_dir"], RAY_EPS,
+                        s["sh_dist"] - RAY_EPS, active=s["sh_do"])
+        s = dict(s)
+        s["L"] = s["L"] + jnp.where((s["sh_do"] & ~occ)[:, None],
+                                    s["sh_ld"], 0.0)
+        s.update(_empty_shadow(s["o"].shape[0]))
+        return s
+
+    body.resolve_pending = resolve_pending
     return body
+
+
+def _empty_shadow(n):
+    return dict(sh_org=jnp.zeros((n, 3)), sh_dir=jnp.zeros((n, 3)),
+                sh_dist=jnp.zeros((n,)), sh_ld=jnp.zeros((n, 3)),
+                sh_do=jnp.zeros((n,), bool))
 
 
 def _compact_state(state, cap: int, sel_key):
@@ -447,7 +509,9 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
     With settings.compact, the wavefront shrinks on a fixed schedule as
     paths die (see _compact_state) — later bounces trace and shade far
     fewer lanes."""
-    state = init_path_state(flat, settings, sample_idx, pixel_ids)
+    fused = _fuse_shadow_active(settings, features)
+    state = init_path_state(flat, settings, sample_idx, pixel_ids,
+                            with_shadow_state=fused)
     body = make_bounce_body(flat, settings, features, tracers)
     n = state["o"].shape[0]
     plan = _compaction_plan(n, settings)
@@ -456,7 +520,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
         def cond(s):
             return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
 
-        final = jax.lax.while_loop(cond, body, state)
+        final = body.resolve_pending(jax.lax.while_loop(cond, body, state))
         if return_stats:
             return final["L"], final["rays"]
         return final["L"]
@@ -466,6 +530,8 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
     base_key = jax.random.fold_in(base_key, sample_idx)
     for si, (cap, blimit) in enumerate(plan):
         if cap < state["o"].shape[0]:
+            # pending deferred shadows must settle before lanes drop
+            state = body.resolve_pending(state)
             out = out.at[state["slot"]].add(state["L"])
             state = _compact_state(state, cap,
                                    jax.random.fold_in(base_key, si))
@@ -474,6 +540,7 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
             return (s["bounce"] < blimit) & jnp.any(s["active"])
 
         state = jax.lax.while_loop(cond, body, state)
+    state = body.resolve_pending(state)
     out = out.at[state["slot"]].add(state["L"])
     if return_stats:
         return out, state["rays"]
@@ -496,6 +563,10 @@ def _init_state_jit(flat, settings, sample_idx):
 def render_sample_stepped(flat: FlatScene, settings: RenderSettings,
                           sample_idx, features: frozenset = bsdf_mod.ALL_FEATURES,
                           return_stats: bool = False):
+    from dataclasses import replace as _replace
+
+    if settings.fuse_shadow:
+        settings = _replace(settings, fuse_shadow=False)
     """Host-driven bounce loop: each bounce is a separate device program.
     Needed for very large scenes where a fused multi-bounce program exceeds
     the device watchdog (big-BVH lockstep traversal is seconds per bounce);

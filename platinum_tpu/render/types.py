@@ -213,6 +213,10 @@ class RenderSettings:
                                    # more than once and the packet tracer
                                    # is in play)
     compact: bool = False          # wavefront population-control compaction
+    fuse_shadow: bool = False      # defer NEE occlusion to the next bounce's
+                                   # closest wave (one sorted trace launch
+                                   # per bounce instead of two); estimator-
+                                   # neutral, resolved at loop end
     accel_max_leaf: int = 4        # BVH leaf size (static for traversal unroll)
     wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
     partition_tris: int = 350_000  # per-partition triangle budget (beyond-

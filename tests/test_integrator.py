@@ -259,3 +259,27 @@ def test_alpha_shadow_rays_pass_through():
     # transparent blocker: no shadow (within noise); opaque: strong shadow
     assert abs(clear - open_sky) / open_sky < 0.05, (clear, open_sky)
     assert opaque < 0.5 * open_sky, (opaque, open_sky)
+
+
+def test_fused_shadow_wave_matches_reference_path():
+    """settings.fuse_shadow defers NEE occlusion to the next bounce's
+    closest wave (one sorted launch per bounce); the estimator traces the
+    exact same rays, so images must match the unfused path exactly."""
+    from dataclasses import replace
+
+    scene, cam = make_cornell_scene()
+    base = RenderSettings(width=24, height=24, spp=8, max_bounces=5,
+                          kernel="mis", sampler="pcg4d")
+    imgs = {}
+    for fuse in (False, True):
+        st = replace(base, fuse_shadow=fuse)
+        flat = flatten_scene(scene, cam, st)
+        imgs[fuse] = np.asarray(integrator.render(flat, st))
+    np.testing.assert_allclose(imgs[True], imgs[False], rtol=1e-6, atol=1e-6)
+
+    # with compaction: pending shadows are resolved before lanes drop
+    st = replace(base, fuse_shadow=True, compact=True, width=96, height=96,
+                 spp=4)
+    flat = flatten_scene(scene, cam, st)
+    img = np.asarray(integrator.render(flat, st))
+    assert np.isfinite(img).all() and img.mean() > 0.1
