@@ -259,7 +259,10 @@ def make_helmet_scene() -> tuple:
     ], -1)[:, None, :]
     cy, cx = int(0.25 * h), int(0.7 * w)
     sky[cy - 2:cy + 2, cx - 2:cx + 2] = (500.0, 480.0, 450.0)
-    scene.environment.set_texture(None, sky)
+    from platinum_tpu.core.texture import Texture, TextureFormat
+    sky_id = scene.add_asset(
+        Texture(data=sky, format=TextureFormat.HDR, name="sky"), retained=True)
+    scene.environment.set_texture(sky_id, sky)
     scene.environment.strength = 1.0
 
     cam_node = scene.create_node("camera")

@@ -216,7 +216,68 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             L = L + jnp.where((miss & has_env)[:, None],
                               atten * env_le * w_env[:, None], 0.0)
 
-        # --- Hit shading data -----------------------------------------------
+        rays_new = s["rays"] + jnp.sum(active.astype(jnp.float32)) * (
+            2.0 if use_mis else 1.0)
+
+        lane_state = dict(
+            o=o, d=d, atten=atten, L=L, hit=hit, o_eff=o_eff,
+            prev_pdf=s["prev_pdf"], prev_spec=s["prev_spec"],
+            stream=stream, slot=s["slot"], bounce=bounce,
+            rec_t=rec.t, rec_tri=rec.tri, rec_bary=rec.bary,
+            **({"rec_inst": rec.inst} if rec.inst is not None else {}),
+        )
+
+        if (settings.chunk_shade and not alpha_on
+                and n > settings.chunk_shade
+                and n % settings.chunk_shade == 0):
+            upd = _chunked_shade(lane_state, _shade_lanes,
+                                 settings.chunk_shade)
+        else:
+            upd = _shade_lanes(lane_state)
+
+        # NEE occlusion: immediate dense any-hit unless deferred to the
+        # next bounce's combined wave (fuse_shadow) or resolved inside the
+        # alpha multi-hop loop (which sets sh_do=False).
+        if use_mis and (env_on or lights_on) and not fuse_shadow:
+            if alpha_on:
+                pass  # occlusion resolved inside _shade_lanes
+            else:
+                occ = trace_any(upd["sh_org"], upd["sh_dir"], RAY_EPS,
+                                upd["sh_dist"] - RAY_EPS, active=upd["sh_do"])
+                upd["L"] = upd["L"] + jnp.where(
+                    (upd["sh_do"] & ~occ)[:, None], upd["sh_ld"], 0.0)
+
+        out = dict(
+            o=upd["o"],
+            d=upd["d"],
+            L=upd["L"],
+            atten=upd["atten"],
+            active=upd["active"],
+            prev_pdf=upd["prev_pdf"],
+            prev_spec=upd["prev_spec"],
+            stream=upd["stream"],
+            bounce=bounce + 1,
+            rays=rays_new,
+            slot=upd["slot"],
+        )
+        if fuse_shadow:
+            out.update({k: upd[k] for k in
+                        ("sh_org", "sh_dir", "sh_dist", "sh_ld", "sh_do")})
+        return out
+
+    def _shade_lanes(ls):
+        """Per-lane hit shading: interpolation, shading context, normal
+        mapping, emission w/ MIS, BSDF sampling, NEE light sampling (shadow
+        ray emitted as sh_* state), RR, next-ray update. Pure per-lane map —
+        runs full-width (dense) or on sorted fixed-size chunks (chunked)."""
+        o, d, atten, L = ls["o"], ls["d"], ls["atten"], ls["L"]
+        hit, o_eff, stream = ls["hit"], ls["o_eff"], ls["stream"]
+        bounce = ls["bounce"]
+        n = o.shape[0]
+        from platinum_tpu.ops.intersect import HitRecord as _HR2
+        rec = _HR2(t=ls["rec_t"], tri=ls["rec_tri"], bary=ls["rec_bary"],
+                   hit=hit, inst=ls.get("rec_inst"))
+
         hd = interpolate_hit(geom, rec, o_eff, d, instances=flat.instances)
         ctx = bsdf_mod.make_shading_context(
             mats, hd.mat_idx, hd.uv, flat.atlas, flat.atlas_table,
@@ -266,8 +327,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                 * dist2_hit / jnp.maximum(cos_hit, 1e-20)
             )
             w_emit = jnp.where(
-                s["prev_spec"] | ~has_lights, 1.0,
-                s["prev_pdf"] / jnp.maximum(s["prev_pdf"] + light_pdf_hit, 1e-20),
+                ls["prev_spec"] | ~has_lights, 1.0,
+                ls["prev_pdf"] / jnp.maximum(ls["prev_pdf"] + light_pdf_hit, 1e-20),
             )
         else:
             w_emit = jnp.ones((n,))
@@ -310,15 +371,15 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                     (1.0 - p_inf) * ls_area.p_light,
                 )
             elif env_on:
-                ls = lights_mod.sample_env_light(env, u_nee2)
-                li, wi_world, dist, l_pdf = ls.li, ls.wi, ls.dist, ls.pdf
+                lsmp = lights_mod.sample_env_light(env, u_nee2)
+                li, wi_world, dist, l_pdf = lsmp.li, lsmp.wi, lsmp.dist, lsmp.pdf
                 p_light = jnp.ones((n,))
             else:
-                ls = lights_mod.sample_area_light(
+                lsmp = lights_mod.sample_area_light(
                     geom, lights, hd.pos, u_sel, u_nee2
                 )
-                li, wi_world, dist, l_pdf = ls.li, ls.wi, ls.dist, ls.pdf
-                p_light = ls.p_light
+                li, wi_world, dist, l_pdf = lsmp.li, lsmp.wi, lsmp.dist, lsmp.pdf
+                p_light = lsmp.p_light
 
             wi_local = jnp.stack(
                 [jnp.sum(wi_world * hd.frame_t, -1),
@@ -332,9 +393,15 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             do_nee = hit & bsdf_mod.wants_nee(ctx) & f_nonzero
             if env_on and lights_on:
                 do_nee = do_nee & (has_lights | has_env)
+            ld = (
+                li * ev.f * jnp.abs(wi_local[..., 2:3])
+                / jnp.maximum(p_light * l_pdf + ev.pdf, 1e-20)[..., None]
+            )
             if alpha_on:
                 # Shadow rays run the alpha loop too (kernel.metal:621-639):
                 # cutout surfaces block stochastically instead of fully.
+                # Traces stay in here (dense-only path; chunking requires
+                # "alpha" not in features).
                 occluded = jnp.zeros((n,), bool)
                 clear = jnp.zeros((n,), bool)
                 org = hd.pos
@@ -356,25 +423,21 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
                     rem = jnp.where(pas_s, rem - srec.t, rem)
                 # unresolved after the hop budget: conservative (occluded)
                 occluded = occluded | (do_nee & ~clear & ~occluded)
-            elif fuse_shadow:
-                occluded = None   # resolved by next bounce's combined wave
+                L = L + jnp.where((do_nee & ~occluded)[:, None],
+                                  atten * ld, 0.0)
+                sh_next = _empty_shadow(n)
             else:
-                occluded = trace_any(hd.pos, wi_world, RAY_EPS,
-                                     dist - RAY_EPS, active=do_nee)
-            ld = (
-                li * ev.f * jnp.abs(wi_local[..., 2:3])
-                / jnp.maximum(p_light * l_pdf + ev.pdf, 1e-20)[..., None]
-            )
-            if fuse_shadow:
+                # Shadow ray emitted as state; the caller traces it (dense
+                # any-hit right after shading, or deferred onto the next
+                # bounce's combined closest wave under fuse_shadow).
                 sh_next = dict(
                     sh_org=hd.pos, sh_dir=wi_world,
                     sh_dist=jnp.where(do_nee, dist, 0.0),
                     sh_ld=jnp.where(do_nee[:, None], atten * ld, 0.0),
                     sh_do=do_nee,
                 )
-            else:
-                L = L + jnp.where((do_nee & ~occluded)[:, None],
-                                  atten * ld, 0.0)
+        else:
+            sh_next = _empty_shadow(n)
 
         # --- Continue the path ------------------------------------------------
         cont = (samp.flags & (bsdf_mod.SAMPLE_REFLECTED | bsdf_mod.SAMPLE_TRANSMITTED)) != 0
@@ -401,26 +464,21 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             jnp.linalg.norm(wi_world_next, axis=-1, keepdims=True), 1e-20
         )
 
-        out = dict(
+        return dict(
             o=jnp.where(hit[:, None], hd.pos, o),
             d=jnp.where(hit[:, None], wi_world_next, d),
             L=L,
             atten=jnp.where(active_new[:, None], atten_new, atten),
             active=active_new,
-            prev_pdf=jnp.where(hit, samp.pdf, s["prev_pdf"]),
+            prev_pdf=jnp.where(hit, samp.pdf, ls["prev_pdf"]),
             prev_spec=jnp.where(
-                hit, (samp.flags & bsdf_mod.SAMPLE_SPECULAR) != 0, s["prev_spec"]
+                hit, (samp.flags & bsdf_mod.SAMPLE_SPECULAR) != 0,
+                ls["prev_spec"]
             ),
             stream=stream,
-            bounce=bounce + 1,
-            rays=s["rays"]
-            + jnp.sum(active.astype(jnp.float32)) * (2.0 if use_mis else 1.0),
-            slot=s["slot"],
+            slot=ls["slot"],
+            **sh_next,
         )
-        if fuse_shadow:
-            out.update(sh_next if (use_mis and (env_on or lights_on))
-                       else _empty_shadow(n))
-        return out
 
     def resolve_pending(s):
         """Settle any still-pending deferred shadow rays (end of loop /
@@ -437,6 +495,64 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
 
     body.resolve_pending = resolve_pending
     return body
+
+
+def _chunked_shade(ls, shade_fn, chunk: int):
+    """Shade only live-hit lanes, in fixed-size chunks.
+
+    Lanes are sorted hits-first (stable), then `ceil(hits/chunk)` chunks are
+    shaded by `shade_fn` inside a dynamic-trip-count `while_loop`; unshaded
+    lanes (misses/dead) pass through untouched with `active=False`. Shading
+    cost thus scales with the live-hit population each bounce instead of the
+    full wavefront width — the exact (zero-variance) counterpart of
+    `_compact_state`'s stochastic population control, and the hook for
+    material-class-specialized shading (chunks are contiguous after a sort).
+
+    Per-lane sampler streams are self-contained counters, so permuting +
+    chunking draws the identical per-lane sequence as the dense path; only
+    dead lanes' streams go stale (they never draw again). Scalar stream
+    leaves (e.g. Halton's shared `dim`) advance by the same static amount in
+    every chunk, so the merged stream stays consistent."""
+    n = ls["o"].shape[0]
+
+    def is_lane(leaf):
+        return (hasattr(leaf, "shape") and leaf.ndim >= 1
+                and leaf.shape[0] == n)
+
+    key = jnp.where(ls["hit"], jnp.uint8(0), jnp.uint8(1))
+    perm = jnp.argsort(key, stable=True)
+    inv = jnp.argsort(perm)
+    srt = jax.tree.map(lambda a: a[perm] if is_lane(a) else a, ls)
+
+    nlive = jnp.sum(key == 0)
+    nch = (nlive + (chunk - 1)) // chunk
+
+    init_out = dict(
+        o=srt["o"], d=srt["d"], L=srt["L"], atten=srt["atten"],
+        active=jnp.zeros((n,), bool),
+        prev_pdf=srt["prev_pdf"], prev_spec=srt["prev_spec"],
+        stream=srt["stream"], slot=srt["slot"],
+        **_empty_shadow(n),
+    )
+
+    def chunk_body(carry):
+        i, out = carry
+        off = i * chunk
+        cls = jax.tree.map(
+            lambda a: (jax.lax.dynamic_slice_in_dim(a, off, chunk, 0)
+                       if is_lane(a) else a), srt)
+        cupd = shade_fn(cls)
+
+        def put(dst, src):
+            if is_lane(dst):
+                return jax.lax.dynamic_update_slice_in_dim(dst, src, off, 0)
+            return src  # scalar stream leaves: same value every chunk
+        out = jax.tree.map(put, out, cupd)
+        return i + 1, out
+
+    _, out = jax.lax.while_loop(lambda c: c[0] < nch, chunk_body,
+                                (jnp.int32(0), init_out))
+    return jax.tree.map(lambda a: a[inv] if is_lane(a) else a, out)
 
 
 def _empty_shadow(n):

@@ -213,6 +213,13 @@ class RenderSettings:
                                    # more than once and the packet tracer
                                    # is in play)
     compact: bool = False          # wavefront population-control compaction
+    chunk_shade: int = 0           # 0 = dense shading; else shade live-hit
+                                   # lanes in sorted fixed-size chunks of
+                                   # this many lanes (exact population
+                                   # control: shading cost tracks the live
+                                   # wavefront). Requires num_pixels to be
+                                   # a multiple; alpha scenes fall back to
+                                   # dense.
     fuse_shadow: bool = False      # defer NEE occlusion to the next bounce's
                                    # closest wave (one sorted trace launch
                                    # per bounce instead of two); estimator-

@@ -283,3 +283,25 @@ def test_fused_shadow_wave_matches_reference_path():
     flat = flatten_scene(scene, cam, st)
     img = np.asarray(integrator.render(flat, st))
     assert np.isfinite(img).all() and img.mean() > 0.1
+
+
+def test_chunked_shading_matches_dense():
+    """settings.chunk_shade shades live-hit lanes in sorted fixed-size
+    chunks (exact population control). Per-lane sampler streams make the
+    draw sequence identical to the dense path, so images must match to fp
+    reassociation noise; misses/dead lanes pass through untouched."""
+    from dataclasses import replace
+
+    scene, cam = make_cornell_scene()
+    base = RenderSettings(width=32, height=32, spp=2, max_bounces=5,
+                          kernel="mis", sampler="pcg4d")
+    flat = flatten_scene(scene, cam, base)
+    dense = np.asarray(integrator.render(flat, base))
+    for chunk in (128, 256):
+        st = replace(base, chunk_shade=chunk)
+        img = np.asarray(integrator.render(flat, st))
+        np.testing.assert_allclose(img, dense, rtol=2e-4, atol=2e-4)
+    # non-dividing chunk size falls back to dense (documented gate)
+    st = replace(base, chunk_shade=300)
+    img = np.asarray(integrator.render(flat, st))
+    np.testing.assert_allclose(img, dense, rtol=0, atol=0)
