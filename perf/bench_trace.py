@@ -41,7 +41,7 @@ def _timeit(fn, n_iters, repeats=3):
 
 def main():
     variants = sys.argv[1:] or ["1,0", "1,1", "2,0", "2,1", "3,1"]
-    # variant = "pops,ordered[,feat_scratch[,packets]]"
+    # variant = "pops,ordered[,fscr[,packets[,fused_drain[,pipe[,drain]]]]]"
     size = 512
     settings = RenderSettings(width=size, height=size, spp=1,
                               instancing="off")
@@ -70,10 +70,15 @@ def main():
         pt.FEAT_SCRATCH = bool(parts[2]) if len(parts) > 2 else True
         packets = parts[3] if len(parts) > 3 else None
         pt.FUSED_DRAIN = bool(parts[4]) if len(parts) > 4 else True
+        pipe = bool(parts[5]) if len(parts) > 5 else False
+        drain = parts[6] if len(parts) > 6 else None
+        profile = ({0: "none", 1: "empty", 2: "nomt"}[parts[7]]
+                   if len(parts) > 7 else "none")
         pt._build_call.cache_clear()
         tc, ta = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
-            pops=pops, ordered=bool(ordered), packets=packets)
+            pops=pops, ordered=bool(ordered), packets=packets,
+            pipe=pipe, drain=drain, profile=profile)
         jc = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf).t)
         ja = jax.jit(lambda o, d: ta(o, d, 1e-3, 60.0))
         t0 = time.perf_counter()
@@ -86,6 +91,8 @@ def main():
         line = {
             "pops": pops, "ordered": ordered, "fscr": int(pt.FEAT_SCRATCH),
             "pk": packets or pt.PACKETS, "fd": int(pt.FUSED_DRAIN),
+            "pipe": int(pipe), "drain": drain or pt.PIPE_DRAIN,
+            "prof": profile,
             "compile_s": round(compile_s, 1),
         }
         for k, v in res.items():

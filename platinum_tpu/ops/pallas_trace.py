@@ -68,6 +68,19 @@ FUSED_DRAIN = False   # drain all packets' leaf queues in one loop. Measured
                       # imbalance makes drained packets pay idle predicated
                       # matmuls: 1.34 vs 1.72 Mrays/s); per-packet loops by
                       # default, fused kept as a tested option
+PIPE = False          # software-pipelined single-block superstep kernel
+                      # (_make_kernel_pipe): sync words are consumed one
+                      # superstep late so their vector->scalar latency hides
+                      # behind the drain matmuls, and the nested drain
+                      # while_loops (scheduling barriers) are replaced by
+                      # predicated per-superstep drains
+PIPE_LEAFQ = 256      # pipe kernel leaf-queue capacity: unlike the drain-
+                      # to-empty kernel, backlog persists across supersteps
+PIPE_DRAIN = 4        # predicated MT blocks drained per packet per superstep
+PROFILE = "none"      # perf-ablation modes (WRONG RESULTS — perf/bench_trace
+                      # only): "empty" = skip the whole traversal loop
+                      # (grid/init/epilogue floor); "nomt" = traverse but
+                      # skip the MT block intersections (queue ops only)
 
 
 def _ctz16(x):
@@ -83,7 +96,7 @@ def _ctz16(x):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
-                 instanced: bool = False):
+                 instanced: bool = False, profile: str = "none"):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -233,6 +246,8 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             snapshot) so the MT chains in a drain batch are independent;
             commits are an exact min against the live state. `commit`
             masks out queue-padding slots."""
+            if profile == "nomt":
+                return
             b = SR * p
             tmin = rp[p]["tmin"]
             feat0 = fscr[p] if FEAT_SCRATCH else rp[p]["feat"]
@@ -474,8 +489,343 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 alive = jnp.int32(1)
             return (*sp3, it + 1, alive)
 
-        init = tuple(jnp.int32(1) for _ in range(P)) + (jnp.int32(0),
-                                                        jnp.int32(1))
+        sp0 = jnp.int32(0 if profile == "empty" else 1)
+        init = tuple(sp0 for _ in range(P)) + (jnp.int32(0), jnp.int32(1))
+        jax.lax.while_loop(cond, body, init)
+
+        for p in range(P):
+            b = SR * p
+            t_ref[0, p, :] = state[b:b + 1, :].reshape(LANES)
+            tri_ref[0, p, :] = state[b + 1:b + 2, :].reshape(LANES).astype(
+                jnp.int32)
+            u_ref[0, p, :] = state[b + 2:b + 3, :].reshape(LANES)
+            v_ref[0, p, :] = state[b + 3:b + 4, :].reshape(LANES)
+            if instanced:
+                inst_ref[0, p, :] = state[b + 4:b + 5, :].reshape(
+                    LANES).astype(jnp.int32)
+
+    return kernel
+
+
+def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
+                      instanced: bool = False):
+    """Software-pipelined superstep kernel.
+
+    The classic kernel's superstep is a serial chain of ~6 dependent stages
+    (pop -> node load -> slab expand -> vector->scalar sync -> scalar walk
+    -> leaf-drain while_loop), and on v5e any such dependent stage costs
+    ~320 cycles regardless of size — measured ~1700 cycles/superstep against
+    a ~115-cycle/independent-chain floor. This kernel breaks the chain by
+    retiming it across the loop back-edge:
+
+      superstep i: [scalar walk of sync words computed in superstep i-1]
+                   [pop K nodes + load + expand -> sync words for i+1]
+                   [up to D predicated MT block drains per packet]
+
+    The sync words' vector->scalar latency is hidden behind the drain
+    matmuls (consumed only after the back-edge), and the drains are
+    predicated straight-line code instead of nested while_loops, so every
+    phase's chains sit in one basic block and schedule as independent work.
+
+    Correctness under the retiming: expansion culls with a best-t snapshot
+    that may be one superstep stale — conservative (best-t only decreases,
+    so a stale bound only admits extra visits, never skips a hit). Because
+    blocks may now persist in the queue across supersteps, the queue is
+    PIPE_LEAFQ deep and pops are gated while the backlog could overflow
+    (drains then shrink it, so the gate always clears).
+
+    With any_hit the MT drain skips winner extraction entirely (no t/u/v,
+    no division, no cross-block best-t dependency): an ok-mask reduction
+    marks the lane occluded, roughly halving per-block vector work for
+    shadow waves.
+    """
+    P = p_packets
+    K = pops
+    D = drain
+    LQ = PIPE_LEAFQ
+    SR = 5 if instanced else 4
+    W = (P * K + 1) // 2   # carried sync words, two 16-bit masks per int32
+
+    def kernel(*refs):
+        if instanced:
+            (meta_ref, rays_ref, nodes_ref, tris_ref, ifeat_ref,
+             t_ref, tri_ref, u_ref, v_ref, inst_ref,
+             state, nstack, lqueue, fscr) = refs
+        else:
+            (meta_ref, rays_ref, nodes_ref, tris_ref,
+             t_ref, tri_ref, u_ref, v_ref,
+             state, nstack, lqueue, fscr) = refs
+        slot_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (64, 1), 0).astype(jnp.float32)
+        pow2 = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
+
+        def invd(v):
+            tiny = jnp.where(v < 0, -1e-20, 1e-20)
+            return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
+
+        rp = []
+        for p in range(P):
+            r = rays_ref[0, p, :, :]
+            ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
+            dx, dy, dz = r[3:4, :], r[4:5, :], r[5:6, :]
+            tmin, tmax = r[6:7, :], r[7:8, :]
+            feat = jnp.concatenate([
+                dx, dy, dz,
+                oy * dz - oz * dy,
+                oz * dx - ox * dz,
+                ox * dy - oy * dx,
+                ox, oy, oz,
+                jnp.ones((1, LANES), jnp.float32),
+            ], axis=0)
+            if FEAT_SCRATCH:
+                fscr[p] = feat
+            rp.append(dict(o=(ox, oy, oz), iv=(invd(dx), invd(dy), invd(dz)),
+                           tmin=tmin, tmax=tmax,
+                           feat=None if FEAT_SCRATCH else feat))
+            b = SR * p
+            state[b:b + 1, :] = tmax
+            state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
+            state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
+            state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
+            if instanced:
+                state[b + 4:b + 5, :] = jnp.zeros((1, LANES))
+            nstack[p * STACK] = 0
+
+        def best_now(p):
+            b = SR * p
+            best = state[b:b + 1, :]
+            if any_hit:
+                alive = state[b + 1:b + 2, :] < 0.0
+                best = jnp.where(alive, best, rp[p]["tmin"] - 1.0)
+            return best
+
+        def expand_vec(p, rec, best):
+            ox, oy, oz = rp[p]["o"]
+            ix, iy, iz = rp[p]["iv"]
+            tmin = rp[p]["tmin"]
+            lox, loy, loz = rec[:, 0:1], rec[:, 1:2], rec[:, 2:3]
+            hix, hiy, hiz = rec[:, 3:4], rec[:, 4:5], rec[:, 5:6]
+            meta = rec[:, 6:7]
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            hit = (tnear <= tfar) & (tfar >= tmin) & (tnear <= best)
+            hit = hit & ((meta >= 0.0) | (meta <= -1.5))
+            hit16 = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)
+            return hit16 * pow2
+
+        def mt_block(p, block_idx, best0, commit):
+            b = SR * p
+            tmin = rp[p]["tmin"]
+            feat0 = fscr[p] if FEAT_SCRATCH else rp[p]["feat"]
+            if instanced:
+                inst = block_idx >> 14
+                block_idx = block_idx & 0x3FFF
+                tmat = ifeat_ref[inst][:, 0:16]
+                feat = jax.lax.dot_general(
+                    tmat[:, 0:10], feat0,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                feat = feat0
+            blk = tris_ref[block_idx]
+            out = jax.lax.dot_general(
+                blk, feat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            det = out[0:64, :]
+            udet = out[64:128, :]
+            vdet = out[128:192, :]
+            tdet = out[192:256, :]
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absdet = det * s
+            us, vs, ts = udet * s, vdet * s, tdet * s
+            if any_hit:
+                # occlusion only: no winner extraction, no division, no
+                # cross-block dependency (kernel.metal's any-hit accept)
+                tmax = rp[p]["tmax"]
+                ok = (
+                    (absdet > DET_EPS)
+                    & (us >= 0.0) & (vs >= 0.0) & (us + vs <= absdet)
+                    & (ts > tmin * absdet) & (ts < tmax * absdet)
+                )
+                anyh = jnp.max(ok.astype(jnp.float32), axis=0, keepdims=True)
+                occ = (anyh > 0.0) & commit
+                state[b + 1:b + 2, :] = jnp.where(
+                    occ, 1.0, state[b + 1:b + 2, :])
+                return
+            ok = (
+                (absdet > DET_EPS)
+                & (us >= 0.0) & (vs >= 0.0) & (us + vs <= absdet)
+                & (ts > tmin * absdet) & (ts < best0 * absdet)
+            )
+            t64 = jnp.where(ok, ts / jnp.maximum(absdet, 1e-37), jnp.inf)
+            tb = jnp.min(t64, axis=0, keepdims=True)
+            found = (tb < state[b:b + 1, :]) & commit
+            sel = (t64 == tb) & found
+            big = jnp.float32(3e38)
+            slot = jnp.min(jnp.where(sel, slot_iota, big), axis=0,
+                           keepdims=True)
+            sel = sel & (slot_iota == slot)
+            iad = 1.0 / jnp.maximum(
+                jnp.max(jnp.where(sel, absdet, 0.0), axis=0, keepdims=True),
+                1e-37,
+            )
+            u_s = jnp.max(jnp.where(sel, us, -big), axis=0,
+                          keepdims=True) * iad
+            v_s = jnp.max(jnp.where(sel, vs, -big), axis=0,
+                          keepdims=True) * iad
+            sid = jnp.asarray(block_idx, jnp.float32) * 64.0 + slot
+            state[b:b + 1, :] = jnp.where(found, tb, state[b:b + 1, :])
+            state[b + 1:b + 2, :] = jnp.where(found, sid,
+                                              state[b + 1:b + 2, :])
+            state[b + 2:b + 3, :] = jnp.where(found, u_s,
+                                              state[b + 2:b + 3, :])
+            state[b + 3:b + 4, :] = jnp.where(found, v_s,
+                                              state[b + 3:b + 4, :])
+            if instanced:
+                state[b + 4:b + 5, :] = jnp.where(
+                    found, jnp.asarray(inst, jnp.float32),
+                    state[b + 4:b + 5, :])
+
+        def push_child(p, n, c, take, spx, lqx):
+            meta_c = meta_ref[n * 16 + c]
+            inner = take & (meta_c >= 0)
+            nstack[p * STACK
+                   + jnp.minimum(jnp.where(inner, spx, STACK - 1),
+                                 STACK - 1)] = meta_c
+            spx = spx + jnp.where(inner, 1, 0)
+            val = -meta_c - 2
+            nb = jnp.where(take & (meta_c <= -2), val & 31, 0)
+            if instanced:
+                b0 = (val >> 5) & 0x3FFF
+                tag = (val >> 19) << 14
+            else:
+                b0 = val >> 5
+                tag = 0
+
+            def pushleaf(j, lqv):
+                lqueue[p * LQ + jnp.minimum(lqv, LQ - 1)] = (tag | (b0 + j))
+                return lqv + 1
+
+            lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
+            return spx, jnp.minimum(lqx, LQ)
+
+        def cond(carry):
+            sps = carry[0:P]
+            lqs = carry[P:2 * P]
+            words = carry[2 * P:2 * P + W]
+            it = carry[-2]
+            alive = carry[-1]
+            live = (sps[0] > 0) | (lqs[0] > 0)
+            for p in range(1, P):
+                live = live | (sps[p] > 0) | (lqs[p] > 0)
+            for q in range(W):
+                live = live | (words[q] != 0)
+            live = live & (it < MAX_STEPS)
+            if any_hit:
+                live = live & (alive > 0)
+            return live
+
+        def body(carry):
+            sps = carry[0:P]
+            lqs = carry[P:2 * P]
+            words = carry[2 * P:2 * P + W]
+            nids = carry[2 * P + W:2 * P + W + P * K]
+            it = carry[-2]
+
+            # --- phase 1: scalar walk of last superstep's sync words ------
+            sp1, lq1 = [], []
+            for p in range(P):
+                spx, lqx = sps[p], lqs[p]
+                for k in range(K):
+                    flat = p * K + k
+                    w = words[flat // 2]
+                    m = (w >> (16 * (flat % 2))) & 0xFFFF
+                    n = nids[flat]
+
+                    def bit_cond(c2):
+                        return c2[0] != 0
+
+                    def bit_body(c2, p=p, n=n):
+                        mm, spx_, lqx_ = c2
+                        lsb = mm & (-mm)
+                        c = _ctz16(lsb)
+                        spx_, lqx_ = push_child(p, n, c, True, spx_, lqx_)
+                        return mm ^ lsb, spx_, lqx_
+
+                    _, spx, lqx = jax.lax.while_loop(
+                        bit_cond, bit_body, (m, spx, lqx))
+                sp1.append(spx)
+                lq1.append(lqx)
+
+            # --- phase 2: pop K nodes + expand -> next superstep's words --
+            bests = [best_now(p) for p in range(P)]
+            vecs, nids2, sp2 = [], [], []
+            for p in range(P):
+                sp = sp1[p]
+                # backlog gate: each popped node can enqueue up to
+                # KERNEL_LEAFQ blocks (asserted at build time)
+                gate = lq1[p] <= LQ - K * KERNEL_LEAFQ
+                npop = jnp.where(gate, jnp.minimum(sp, K), 0)
+                for k in range(K):
+                    has = npop > k
+                    n = jnp.where(
+                        has, nstack[p * STACK + jnp.maximum(sp - 1 - k, 0)], 0)
+                    rec = nodes_ref[n]
+                    nids2.append(n)
+                    vecs.append(
+                        jnp.where(has, expand_vec(p, rec, bests[p]), 0))
+                sp2.append(sp - npop)
+            words2 = []
+            for q in range(0, P * K, 2):
+                if q + 1 < P * K:
+                    words2.append(jnp.sum(vecs[q] + (vecs[q + 1] << 16)))
+                else:
+                    words2.append(jnp.sum(vecs[q]))
+
+            # --- phase 3: predicated drains (overlap the word syncs) ------
+            lq2 = []
+            for p in range(P):
+                q = lq1[p]
+                for j in range(D):
+                    valid = j < q
+                    bidx = lqueue[p * LQ + jnp.maximum(q - 1 - j, 0)]
+                    mt_block(p, jnp.where(valid, bidx, 0), bests[p],
+                             jnp.broadcast_to(valid, (1, LANES)))
+                lq2.append(jnp.maximum(q - D, 0))
+
+            if any_hit:
+                acc = jnp.zeros((1, LANES), jnp.float32)
+                for p in range(P):
+                    lane_ok = ((state[SR * p + 1:SR * p + 2, :] < 0.0)
+                               & (rp[p]["tmax"] >= rp[p]["tmin"]))
+                    acc = acc + lane_ok.astype(jnp.float32)
+                alive = jnp.sum(acc).astype(jnp.int32)
+            else:
+                alive = jnp.int32(1)
+            return (*sp2, *lq2, *words2, *nids2, it + 1, alive)
+
+        init = (tuple(jnp.int32(1) for _ in range(P))       # stacks: [root]
+                + tuple(jnp.int32(0) for _ in range(P))     # queues empty
+                + tuple(jnp.int32(0) for _ in range(W))     # no pending words
+                + tuple(jnp.int32(0) for _ in range(P * K))  # node ids
+                + (jnp.int32(0), jnp.int32(1)))
         jax.lax.while_loop(cond, body, init)
 
         for p in range(P):
@@ -495,12 +845,22 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 @functools.lru_cache(maxsize=None)
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 interpret: bool, pops: int = None, ordered: bool = None,
-                n_inst: int = 0, packets: int = None):
+                n_inst: int = 0, packets: int = None, pipe: bool = None,
+                drain: int = None, profile: str = None):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
+    pipe = PIPE if pipe is None else pipe
+    drain = PIPE_DRAIN if drain is None else drain
+    profile = PROFILE if profile is None else profile
     PACKETS = packets if packets is not None else globals()["PACKETS"]
     instanced = n_inst > 0
-    kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced)
+    if pipe:
+        kernel = _make_kernel_pipe(any_hit, PACKETS, pops, drain, instanced)
+        leafq = PIPE_LEAFQ
+    else:
+        kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced,
+                              profile)
+        leafq = LEAFQ
     sr = 5 if instanced else 4
     pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -530,7 +890,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         scratch_shapes=[
             pltpu.VMEM((sr * PACKETS, LANES), jnp.float32),  # hit states
             pltpu.SMEM((PACKETS * STACK,), jnp.int32),       # node stacks
-            pltpu.SMEM((PACKETS * LEAFQ,), jnp.int32),       # leaf queues
+            pltpu.SMEM((PACKETS * leafq,), jnp.int32),       # leaf queues
             pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),   # MT ray features
         ],
     )
@@ -613,7 +973,10 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        pops: int | None = None,
                        ordered: bool | None = None,
                        inst_feat=None,
-                       packets: int | None = None):
+                       packets: int | None = None,
+                       pipe: bool | None = None,
+                       drain: int | None = None,
+                       profile: str | None = None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -673,7 +1036,7 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
         pk = packets if packets is not None else PACKETS
         rays, r, g = _pack_rays(o, d, tmin, tmax, active, pk)
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
-                           pops, ordered, n_inst, pk)
+                           pops, ordered, n_inst, pk, pipe, drain, profile)
         flat = lambda x: x.reshape(g * pk * LANES)[:r]
         if n_inst:
             t, tri, u, v, inst = call(wmeta, rays, wnodes_t, wtris, inst_feat)

@@ -88,15 +88,19 @@ def test_packet_matches_brute(leaf_cap):
     assert (occ_p == occ_b).mean() > 0.995
 
 
-@pytest.mark.parametrize("pops,ordered", [(1, False), (1, True), (2, False),
-                                          (3, True)])
-def test_packet_kernel_variants_match_brute(pops, ordered):
-    """Every (multi-pop, ordered-traversal) kernel variant must produce the
-    same hits — traversal order must never change results."""
+@pytest.mark.parametrize("pops,ordered,pipe", [(1, False, False),
+                                               (1, True, False),
+                                               (2, False, False),
+                                               (3, True, False),
+                                               (2, False, True)])
+def test_packet_kernel_variants_match_brute(pops, ordered, pipe):
+    """Every (multi-pop, ordered-traversal, pipelined) kernel variant must
+    produce the same hits — traversal order must never change results."""
     v0, v1, v2 = _random_soup(t=500, seed=11)
     wide, geom = _build(v0, v1, v2, leaf_cap=16)
     tc, ta = make_packet_tracer(wide.nodes, wide.tri_blocks, wide.meta,
-                                wide.tri_of_slot, pops=pops, ordered=ordered)
+                                wide.tri_of_slot, pops=pops, ordered=ordered,
+                                pipe=pipe)
     bc, ba = make_brute_tracer(geom)
     rng = np.random.default_rng(5)
     r = 1024
