@@ -63,6 +63,36 @@ def main():
     di = np.asarray(d)[perm] + rng.normal(0, 0.35, (n, 3)).astype(np.float32)
     di = jnp.asarray(di / np.linalg.norm(di, axis=-1, keepdims=True))
 
+    # realistic diffuse-bounce wave: origins on scene surfaces, cosine-
+    # hemisphere directions (the synthetic scramble above is a point-source
+    # wave and overstates incoherence; see perf/sim_union.py sortkeys2)
+    geo = np.asarray(flat.geometry.positions)
+    idx = np.asarray(flat.geometry.indices)
+    tsel = rng.integers(0, len(idx), n)
+    bv0 = geo[idx[tsel, 0]]
+    be1 = geo[idx[tsel, 1]] - bv0
+    be2 = geo[idx[tsel, 2]] - bv0
+    r1, r2 = rng.uniform(0, 1, (2, n)).astype(np.float32)
+    fl = r1 + r2 > 1
+    r1 = np.where(fl, 1 - r1, r1)
+    r2 = np.where(fl, 1 - r2, r2)
+    borg = (bv0 + r1[:, None] * be1 + r2[:, None] * be2).astype(np.float32)
+    bnrm = np.cross(be1, be2)
+    bnrm /= np.linalg.norm(bnrm, -1, keepdims=True) + 1e-20
+    u1, u2 = rng.uniform(0, 1, (2, n)).astype(np.float32)
+    rad = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    t0v = np.where(np.abs(bnrm[:, 0:1]) < 0.9, [1.0, 0, 0], [0, 1.0, 0])
+    btx = np.cross(bnrm, t0v)
+    btx /= np.linalg.norm(btx, -1, keepdims=True) + 1e-20
+    bty = np.cross(bnrm, btx)
+    bd = (btx * (rad * np.cos(phi))[:, None]
+          + bty * (rad * np.sin(phi))[:, None]
+          + bnrm * np.sqrt(np.maximum(1 - u1, 0))[:, None]).astype(np.float32)
+    bd /= np.linalg.norm(bd, -1, keepdims=True) + 1e-20
+    ob = jnp.asarray(borg + bnrm * 1e-3)
+    db = jnp.asarray(bd)
+
     for var in variants:
         parts = [int(x) for x in var.split(",")]
         pops, ordered = parts[0], parts[1]
@@ -72,13 +102,21 @@ def main():
         pt.FUSED_DRAIN = bool(parts[4]) if len(parts) > 4 else True
         pipe = bool(parts[5]) if len(parts) > 5 else False
         drain = parts[6] if len(parts) > 6 else None
-        profile = ({0: "none", 1: "empty", 2: "nomt"}[parts[7]]
+        profile = ({0: "none", 1: "empty", 2: "nomt", 3: "fix64",
+                    4: "count"}[parts[7]]
                    if len(parts) > 7 else "none")
+        fw = bool(parts[8]) if len(parts) > 8 else False
+        oct_on = bool(parts[9]) if len(parts) > 9 else False
+        worder = None
+        if oct_on:
+            from platinum_tpu.accel.wide import build_octant_orders
+            worder = build_octant_orders(np.asarray(flat.wbvh_nodes))
         pt._build_call.cache_clear()
         tc, ta = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
             pops=pops, ordered=bool(ordered), packets=packets,
-            pipe=pipe, drain=drain, profile=profile)
+            pipe=pipe, drain=drain, profile=profile, flat_walk=fw,
+            worder=worder)
         jc = jax.jit(lambda o, d: tc(o, d, 1e-3, jnp.inf).t)
         ja = jax.jit(lambda o, d: ta(o, d, 1e-3, 60.0))
         t0 = time.perf_counter()
@@ -86,13 +124,15 @@ def main():
         compile_s = time.perf_counter() - t0
         res = {}
         res["primary"] = _timeit(lambda i: jc(o, d), 4)
+        res["bounce"] = _timeit(lambda i: jc(ob, db), 4)
         res["incoher"] = _timeit(lambda i: jc(oi, di), 4)
         res["any_inc"] = _timeit(lambda i: ja(oi, di), 4)
+        res["any_bnc"] = _timeit(lambda i: ja(ob, db), 4)
         line = {
             "pops": pops, "ordered": ordered, "fscr": int(pt.FEAT_SCRATCH),
             "pk": packets or pt.PACKETS, "fd": int(pt.FUSED_DRAIN),
             "pipe": int(pipe), "drain": drain or pt.PIPE_DRAIN,
-            "prof": profile,
+            "prof": profile, "fw": int(fw), "oct": int(oct_on),
             "compile_s": round(compile_s, 1),
         }
         for k, v in res.items():

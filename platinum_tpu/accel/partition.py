@@ -91,7 +91,8 @@ def partition_bvh(bvh: BVH, budget_tris: int = DEFAULT_BUDGET_TRIS
 
 def make_partitioned_tracer(part_arrays, interpret=None):
     """(trace_closest, trace_any) over a list of per-partition packed wide
-    BVHs: [(nodes, tris, meta, slot_global), ...]. Traces sequentially,
+    BVHs: [(nodes, tris, meta, slot_global[, octant_orders]), ...].
+    Traces sequentially,
     carrying the best hit so far as tmax so later partitions are culled.
     """
     import jax.numpy as jnp
@@ -100,8 +101,10 @@ def make_partitioned_tracer(part_arrays, interpret=None):
     from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
     pairs = [
-        make_packet_tracer(n, t, m, s, interpret=interpret)
-        for (n, t, m, s) in part_arrays
+        make_packet_tracer(n, t, m, s, interpret=interpret,
+                           worder=(p[4] if len(p) > 4 else None))
+        for p in part_arrays
+        for (n, t, m, s) in [p[:4]]
     ]
     closest_tracers = [p[0] for p in pairs]
     any_tracers = [p[1] for p in pairs]

@@ -275,6 +275,38 @@ def build_wide_bvh(bvh: BVH, tri_geo: np.ndarray,
                    meta_i32.reshape(-1), slot_tri, len(tg))
 
 
+def build_octant_orders(nodes: np.ndarray) -> np.ndarray:
+    """Per-(node, ray-octant) child traversal orders for near-first walks.
+
+    For each of the 8 direction octants, children are ranked by their
+    centroid's projection along the octant's sign vector; the walk pushes
+    them far-to-near so the stack top is always the nearest unvisited
+    subtree (Ylitie-style octant ordering, done at BUILD time — the
+    runtime pays zero extra syncs because sorted packets share a single
+    octant and the order is a pure SMEM scalar load).
+
+    Returns (N*16,) int32: node n, octant o owns entries
+    [(n*8+o)*2, (n*8+o)*2+1] — two words of 8 nibbles each, nibble j =
+    the j-th child slot to push (farthest first). Empty slots sort
+    mid-order; they are masked by the hit word at runtime.
+    """
+    n = len(nodes)
+    rec = nodes.reshape(n, WIDTH, 8)
+    cen = (rec[:, :, 0:3] + rec[:, :, 3:6]) * 0.5          # (N, 16, 3)
+    out = np.zeros((n, 8, 2), np.int64)
+    slots = np.arange(WIDTH, dtype=np.int64)
+    for o in range(8):
+        sgn = np.array([1 - 2 * (o & 1), 1 - 2 * ((o >> 1) & 1),
+                        1 - 2 * ((o >> 2) & 1)], np.float32)
+        proj = (cen * sgn).sum(-1)                          # (N, 16)
+        order = np.argsort(-proj, axis=1, kind="stable")    # far -> near
+        lo = (order[:, 0:8] << (4 * slots[0:8])).sum(1)
+        hi = (order[:, 8:16] << (4 * slots[0:8])).sum(1)
+        out[:, o, 0] = lo
+        out[:, o, 1] = hi
+    return out.reshape(-1).astype(np.int32)
+
+
 def validate_wide(w: WideBVH) -> None:
     """Structural invariants (tests)."""
     nodes = w.nodes.reshape(-1, WIDTH, 8)

@@ -96,7 +96,8 @@ def _ctz16(x):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
-                 instanced: bool = False, profile: str = "none"):
+                 instanced: bool = False, profile: str = "none",
+                 mtd: int = None, oct_order: bool = False):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -128,14 +129,18 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     P = p_packets
     K = pops
     SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
+    MTD = MT_DRAIN if mtd is None else mtd
 
     def kernel(*refs):
+        refs = list(refs)
+        meta_ref = refs.pop(0)
+        worder_ref = refs.pop(0) if oct_order else None
         if instanced:
-            (meta_ref, rays_ref, nodes_ref, tris_ref, ifeat_ref,
+            (rays_ref, nodes_ref, tris_ref, ifeat_ref,
              t_ref, tri_ref, u_ref, v_ref, inst_ref,
              state, nstack, lqueue, fscr) = refs
         else:
-            (meta_ref, rays_ref, nodes_ref, tris_ref,
+            (rays_ref, nodes_ref, tris_ref,
              t_ref, tri_ref, u_ref, v_ref,
              state, nstack, lqueue, fscr) = refs
         slot_iota = jax.lax.broadcasted_iota(
@@ -144,12 +149,14 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
         # of the mask sum then silently drops bit 0).
         pow2 = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0))
         child_iota = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        lane0 = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0)
 
         def invd(v):
             tiny = jnp.where(v < 0, -1e-20, 1e-20)
             return 1.0 / jnp.where(jnp.abs(v) < 1e-20, tiny, v)
 
         rp = []
+        octs = []
         for p in range(P):
             r = rays_ref[0, p, :, :]
             ox, oy, oz = r[0:1, :], r[1:2, :], r[2:3, :]
@@ -168,6 +175,13 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             rp.append(dict(o=(ox, oy, oz), iv=(invd(dx), invd(dy), invd(dz)),
                            tmin=tmin, tmax=tmax,
                            feat=None if FEAT_SCRATCH else feat))
+            if oct_order:
+                # packet octant from lane 0 (the wave is octant-sorted, so
+                # all live lanes share it); one init-time sync per packet
+                ov = ((dx < 0).astype(jnp.int32)
+                      + 2 * (dy < 0).astype(jnp.int32)
+                      + 4 * (dz < 0).astype(jnp.int32))
+                octs.append(jnp.sum(jnp.where(lane0, ov, 0)))
             b = SR * p
             state[b:b + 1, :] = tmax
             state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
@@ -280,6 +294,23 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             s = jnp.where(det >= 0.0, 1.0, -1.0)
             absdet = det * s
             us, vs, ts = udet * s, vdet * s, tdet * s
+            if any_hit:
+                # occlusion only: no winner extraction, no division, no
+                # cross-block best-t dependency — roughly halves per-block
+                # vector work for shadow waves (kernel.metal's any-hit
+                # accept semantics)
+                tmax = rp[p]["tmax"]
+                okh = (
+                    (absdet > DET_EPS)
+                    & (us >= 0.0) & (vs >= 0.0) & (us + vs <= absdet)
+                    & (ts > tmin * absdet) & (ts < tmax * absdet)
+                )
+                anyh = jnp.max(okh.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                occ = (anyh > 0.0) & commit
+                state[b + 1:b + 2, :] = jnp.where(
+                    occ, 1.0, state[b + 1:b + 2, :])
+                return
             ok = (
                 (absdet > DET_EPS)
                 & (us >= 0.0) & (vs >= 0.0) & (us + vs <= absdet)
@@ -317,6 +348,11 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
         def cond(carry):
             sps, it, alive = carry[:P], carry[P], carry[P + 1]
+            if profile == "fix64":
+                # run exactly 64 supersteps (most with empty stacks):
+                # time(fix64) - time(empty) == 64 x per-superstep
+                # machinery cost with zero useful work
+                return it < 64
             live = sps[0] > 0
             for p in range(1, P):
                 live = live | (sps[p] > 0)
@@ -406,6 +442,19 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                     n = nps[p][k]
                     w = words[p * K + k]
                     m = w & 0xFFFF
+                    if oct_order:
+                        # build-time near-first order for this packet's
+                        # octant: 16 predicated pushes, farthest child
+                        # first (stack top ends nearest), no extra syncs
+                        base = (n * 8 + octs[p]) * 2
+                        wA = worder_ref[base]
+                        wB = worder_ref[base + 1]
+                        for j in range(16):
+                            wj = wA if j < 8 else wB
+                            c = (wj >> (4 * (j % 8))) & 15
+                            take = ((m >> c) & 1) != 0
+                            spx, lqx = push_child(p, n, c, take, spx, lqx)
+                        continue
                     if ordered:
                         pw = (w >> 16) & 0xFFFF
                         cs, takes = [], []
@@ -438,7 +487,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
             # --- Phase C: drain the leaf queues -------------------------
             if FUSED_DRAIN:
-                # one loop over ALL packets: fewer back-edges, P*MT_DRAIN
+                # one loop over ALL packets: fewer back-edges, P*MTD
                 # independent MXU chains per iteration (imbalanced queues
                 # pay idle predicated matmuls on drained packets)
                 def drain_cond(c3):
@@ -451,13 +500,13 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                     qs = list(c3)
                     for p in range(P):
                         q = qs[p]
-                        for j in range(MT_DRAIN):
+                        for j in range(MTD):
                             valid = j < q
                             bidx = lqueue[p * LEAFQ
                                           + jnp.maximum(q - 1 - j, 0)]
                             mt_block(p, jnp.where(valid, bidx, 0), bests[p],
                                      jnp.broadcast_to(valid, (1, LANES)))
-                        qs[p] = jnp.maximum(q - MT_DRAIN, 0)
+                        qs[p] = jnp.maximum(q - MTD, 0)
                     return tuple(qs)
 
                 jax.lax.while_loop(drain_cond, drain_body, tuple(lqs))
@@ -468,13 +517,13 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
                     def drain_body(c3, p=p, best0=bests[p]):
                         q = c3[0]
-                        for j in range(MT_DRAIN):
+                        for j in range(MTD):
                             valid = j < q
                             bidx = lqueue[p * LEAFQ
                                           + jnp.maximum(q - 1 - j, 0)]
                             mt_block(p, jnp.where(valid, bidx, 0), best0,
                                      jnp.broadcast_to(valid, (1, LANES)))
-                        return (jnp.maximum(q - MT_DRAIN, 0),)
+                        return (jnp.maximum(q - MTD, 0),)
 
                     jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
 
@@ -491,13 +540,19 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
         sp0 = jnp.int32(0 if profile == "empty" else 1)
         init = tuple(sp0 for _ in range(P)) + (jnp.int32(0), jnp.int32(1))
-        jax.lax.while_loop(cond, body, init)
+        fin = jax.lax.while_loop(cond, body, init)
 
         for p in range(P):
             b = SR * p
             t_ref[0, p, :] = state[b:b + 1, :].reshape(LANES)
             tri_ref[0, p, :] = state[b + 1:b + 2, :].reshape(LANES).astype(
                 jnp.int32)
+            if profile == "count":
+                # superstep count for this grid step, readable host-side
+                u_ref[0, p, :] = jnp.broadcast_to(
+                    fin[P].astype(jnp.float32), (LANES,))
+                v_ref[0, p, :] = state[b + 3:b + 4, :].reshape(LANES)
+                continue
             u_ref[0, p, :] = state[b + 2:b + 3, :].reshape(LANES)
             v_ref[0, p, :] = state[b + 3:b + 4, :].reshape(LANES)
             if instanced:
@@ -508,7 +563,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
 
 def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
-                      instanced: bool = False):
+                      instanced: bool = False, flat_walk: bool = False):
     """Software-pipelined superstep kernel.
 
     The classic kernel's superstep is a serial chain of ~6 dependent stages
@@ -538,6 +593,17 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
     no division, no cross-block best-t dependency): an ok-mask reduction
     marks the lane occluded, roughly halving per-block vector work for
     shadow waves.
+
+    `flat_walk` additionally replaces the scalar bit-walk while_loops with
+    16 unrolled predicated pushes per popped node, so the whole superstep
+    is a SINGLE basic block with no nested control flow. Motivation: the
+    count-profile measurement puts a superstep at ~8-11k cycles against a
+    ~2k issue-count model, and the classic superstep crosses ~12 nested
+    loop regions — region boundaries (pipeline flush + sync) are the
+    missing cost. Requires every leaf to own exactly ONE MT block
+    (wide_leaf_cap <= 64, the build default): predicated pushes write a
+    single queue slot per child, with a global dump slot absorbing
+    non-taken writes.
     """
     P = p_packets
     K = pops
@@ -759,18 +825,46 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
                     m = (w >> (16 * (flat % 2))) & 0xFFFF
                     n = nids[flat]
 
-                    def bit_cond(c2):
-                        return c2[0] != 0
+                    if flat_walk:
+                        # 16 unrolled predicated pushes: no nested control
+                        # flow. Non-taken writes land in the global dump
+                        # slots (index P*STACK / P*LQ).
+                        for c in range(16):
+                            take = (m & (1 << c)) != 0
+                            meta_c = meta_ref[n * 16 + c]
+                            inner = take & (meta_c >= 0)
+                            nstack[jnp.where(
+                                inner,
+                                p * STACK + jnp.minimum(spx, STACK - 1),
+                                P * STACK)] = meta_c
+                            spx = spx + jnp.where(inner, 1, 0)
+                            leaf = take & (meta_c <= -2)
+                            val = -meta_c - 2
+                            if instanced:
+                                b0 = (val >> 5) & 0x3FFF
+                                tag = (val >> 19) << 14
+                            else:
+                                b0 = val >> 5
+                                tag = 0
+                            lqueue[jnp.where(
+                                leaf,
+                                p * LQ + jnp.minimum(lqx, LQ - 1),
+                                P * LQ)] = tag | b0
+                            lqx = lqx + jnp.where(leaf, 1, 0)
+                    else:
+                        def bit_cond(c2):
+                            return c2[0] != 0
 
-                    def bit_body(c2, p=p, n=n):
-                        mm, spx_, lqx_ = c2
-                        lsb = mm & (-mm)
-                        c = _ctz16(lsb)
-                        spx_, lqx_ = push_child(p, n, c, True, spx_, lqx_)
-                        return mm ^ lsb, spx_, lqx_
+                        def bit_body(c2, p=p, n=n):
+                            mm, spx_, lqx_ = c2
+                            lsb = mm & (-mm)
+                            c = _ctz16(lsb)
+                            spx_, lqx_ = push_child(p, n, c, True, spx_,
+                                                    lqx_)
+                            return mm ^ lsb, spx_, lqx_
 
-                    _, spx, lqx = jax.lax.while_loop(
-                        bit_cond, bit_body, (m, spx, lqx))
+                        _, spx, lqx = jax.lax.while_loop(
+                            bit_cond, bit_body, (m, spx, lqx))
                 sp1.append(spx)
                 lq1.append(lqx)
 
@@ -846,7 +940,8 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
 def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 interpret: bool, pops: int = None, ordered: bool = None,
                 n_inst: int = 0, packets: int = None, pipe: bool = None,
-                drain: int = None, profile: str = None):
+                drain: int = None, profile: str = None,
+                flat_walk: bool = False, oct_order: bool = False):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
     pipe = PIPE if pipe is None else pipe
@@ -855,17 +950,23 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
     PACKETS = packets if packets is not None else globals()["PACKETS"]
     instanced = n_inst > 0
     if pipe:
-        kernel = _make_kernel_pipe(any_hit, PACKETS, pops, drain, instanced)
+        kernel = _make_kernel_pipe(any_hit, PACKETS, pops, drain, instanced,
+                                   flat_walk)
         leafq = PIPE_LEAFQ
     else:
         kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced,
-                              profile)
+                              profile, mtd=drain, oct_order=oct_order)
         leafq = LEAFQ
     sr = 5 if instanced else 4
     pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # child meta table
+    ]
+    if oct_order:
+        # per-(node, octant) traversal orders (wide.build_octant_orders)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    in_specs += [
         pl.BlockSpec((1, PACKETS, 8, LANES), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (N,16,8)
@@ -889,8 +990,10 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((sr * PACKETS, LANES), jnp.float32),  # hit states
-            pltpu.SMEM((PACKETS * STACK,), jnp.int32),       # node stacks
-            pltpu.SMEM((PACKETS * leafq,), jnp.int32),       # leaf queues
+            # +1: global dump slot absorbing non-taken predicated pushes
+            # (flat-walk pipe kernel); unused by the loop-walk kernels
+            pltpu.SMEM((PACKETS * STACK + 1,), jnp.int32),   # node stacks
+            pltpu.SMEM((PACKETS * leafq + 1,), jnp.int32),   # leaf queues
             pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),   # MT ray features
         ],
     )
@@ -976,7 +1079,9 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        packets: int | None = None,
                        pipe: bool | None = None,
                        drain: int | None = None,
-                       profile: str | None = None):
+                       profile: str | None = None,
+                       flat_walk: bool = False,
+                       worder=None):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -996,6 +1101,10 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if flat_walk:
+        pipe = True   # the loop-free walk is implemented in the pipe kernel
+    if worder is not None:
+        worder = jnp.asarray(worder, jnp.int32)
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
     wmeta = jnp.asarray(wmeta, jnp.int32)
@@ -1035,14 +1144,22 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                 active = active[perm]
         pk = packets if packets is not None else PACKETS
         rays, r, g = _pack_rays(o, d, tmin, tmax, active, pk)
+        # near-first octant ordering pays only on closest-hit waves
+        # (measured: any-hit regresses ~20% — ordering cannot help an
+        # any-accept walk, and the 16 unrolled predicated pushes cost more
+        # than the loop walk)
+        oct_on = worder is not None and not pipe and not any_hit
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
-                           pops, ordered, n_inst, pk, pipe, drain, profile)
+                           pops, ordered, n_inst, pk, pipe, drain, profile,
+                           flat_walk, oct_on)
         flat = lambda x: x.reshape(g * pk * LANES)[:r]
+        args = [wmeta] + ([worder] if oct_on else []) + [rays, wnodes_t,
+                                                         wtris]
         if n_inst:
-            t, tri, u, v, inst = call(wmeta, rays, wnodes_t, wtris, inst_feat)
+            t, tri, u, v, inst = call(*args, inst_feat)
             inst = flat(inst)
         else:
-            t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
+            t, tri, u, v = call(*args)
             inst = None
         t, tri, u, v = flat(t), flat(tri), flat(u), flat(v)
         if perm is not None:

@@ -492,7 +492,7 @@ def flatten_scene(
         bvh_arrays["bvh_nodes"] = jnp.asarray(bn)
         # 16-wide packed BVH for the Pallas packet tracer (accel.wide);
         # beyond-VMEM scenes split into resident partitions (accel.partition)
-        from platinum_tpu.accel.wide import build_wide_bvh
+        from platinum_tpu.accel.wide import build_octant_orders, build_wide_bvh
 
         if len(tri_geo) > settings.partition_tris:
             from platinum_tpu.accel.partition import partition_bvh
@@ -508,7 +508,8 @@ def flatten_scene(
                 parts.append((jnp.asarray(w.nodes),
                               jnp.asarray(w.tri_blocks),
                               jnp.asarray(w.meta),
-                              jnp.asarray(slot_g.astype(np.int32))))
+                              jnp.asarray(slot_g.astype(np.int32)),
+                              jnp.asarray(build_octant_orders(w.nodes))))
             bvh_arrays["wbvh_parts"] = tuple(parts)
         else:
             wide = build_wide_bvh(bvh_host, tri_geo,
@@ -518,6 +519,8 @@ def flatten_scene(
             bvh_arrays["wbvh_meta"] = jnp.asarray(wide.meta)
             bvh_arrays["wbvh_slot"] = jnp.asarray(
                 wide.tri_of_slot.astype(np.int32))
+            bvh_arrays["wbvh_order"] = jnp.asarray(
+                build_octant_orders(wide.nodes))
 
     flat = FlatScene(
         geometry=Geometry(
@@ -553,7 +556,7 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
     materials and world transforms per lane (ops.hitdata)."""
     from platinum_tpu.accel import get_builder
     from platinum_tpu.accel.tlas import build_instanced_bvh
-    from platinum_tpu.accel.wide import build_wide_bvh
+    from platinum_tpu.accel.wide import build_octant_orders, build_wide_bvh
     from platinum_tpu.render.types import InstanceTable
 
     # ---- mesh library (unique meshes, object space, BVH-ordered) --------
@@ -693,6 +696,7 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
         wbvh_tris=jnp.asarray(ibvh.tri_blocks),
         wbvh_meta=jnp.asarray(ibvh.meta),
         wbvh_slot=jnp.asarray(ibvh.tri_of_slot.astype(np.int32)),
+        wbvh_order=jnp.asarray(build_octant_orders(np.asarray(ibvh.nodes))),
         instances=InstanceTable(
             rows=jnp.asarray(inst_rows),
             slot_mat=jnp.asarray(slot_mat),

@@ -172,6 +172,9 @@ class FlatScene:
     wbvh_tris: jnp.ndarray | None = None
     wbvh_meta: jnp.ndarray | None = None
     wbvh_slot: jnp.ndarray | None = None
+    wbvh_order: jnp.ndarray | None = None  # (N*16,) per-(node, octant)
+                                           # near-first child orders
+                                           # (accel.wide.build_octant_orders)
     # Beyond-VMEM scenes (accel.partition): tuple of per-partition
     # (nodes, tris, meta, slot) wide-BVH array tuples, traced sequentially
     # with carried best-t; None when the scene fits one resident structure
@@ -213,6 +216,11 @@ class RenderSettings:
                                    # more than once and the packet tracer
                                    # is in play)
     compact: bool = False          # wavefront population-control compaction
+    oct_order: bool = False        # near-first octant-ordered traversal for
+                                   # closest waves (build-time SMEM orders).
+                                   # Wins 3-5% on standalone waves, measured
+                                   # NET-NEGATIVE (-8%) e2e on v5e — kept as
+                                   # a tested option
     chunk_shade: int = 0           # 0 = dense shading; else shade live-hit
                                    # lanes in sorted fixed-size chunks of
                                    # this many lanes (exact population

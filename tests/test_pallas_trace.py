@@ -88,19 +88,24 @@ def test_packet_matches_brute(leaf_cap):
     assert (occ_p == occ_b).mean() > 0.995
 
 
-@pytest.mark.parametrize("pops,ordered,pipe", [(1, False, False),
-                                               (1, True, False),
-                                               (2, False, False),
-                                               (3, True, False),
-                                               (2, False, True)])
-def test_packet_kernel_variants_match_brute(pops, ordered, pipe):
-    """Every (multi-pop, ordered-traversal, pipelined) kernel variant must
-    produce the same hits — traversal order must never change results."""
+@pytest.mark.parametrize("pops,ordered,pipe,oct", [(1, False, False, False),
+                                                   (1, True, False, False),
+                                                   (2, False, False, False),
+                                                   (3, True, False, False),
+                                                   (2, False, True, False),
+                                                   (2, False, False, True)])
+def test_packet_kernel_variants_match_brute(pops, ordered, pipe, oct):
+    """Every (multi-pop, ordered-traversal, pipelined, octant-ordered)
+    kernel variant must produce the same hits — traversal order must never
+    change results."""
+    from platinum_tpu.accel.wide import build_octant_orders
+
     v0, v1, v2 = _random_soup(t=500, seed=11)
     wide, geom = _build(v0, v1, v2, leaf_cap=16)
+    worder = build_octant_orders(wide.nodes) if oct else None
     tc, ta = make_packet_tracer(wide.nodes, wide.tri_blocks, wide.meta,
                                 wide.tri_of_slot, pops=pops, ordered=ordered,
-                                pipe=pipe)
+                                pipe=pipe, worder=worder)
     bc, ba = make_brute_tracer(geom)
     rng = np.random.default_rng(5)
     r = 1024
