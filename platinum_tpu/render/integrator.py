@@ -625,15 +625,33 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
 
     With settings.compact, the wavefront shrinks on a fixed schedule as
     paths die (see _compact_state) — later bounces trace and shade far
-    fewer lanes."""
+    fewer lanes.
+
+    With settings.spp_batch = B > 1 (and default pixel_ids), B samples of
+    every pixel ride ONE wavefront: B-times wider waves, 1/B as many wave
+    launches per spp, amortising per-wave fixed costs (sort, pack/unsort,
+    launch plumbing). Per-lane sampler streams draw the identical
+    per-(pixel, sample) sequences as B separate calls, so the result is
+    their sum; the returned radiance is the per-pixel SUM of the B
+    samples (callers divide by their spp count as usual)."""
     fused = _fuse_shadow_active(settings, features)
-    state = init_path_state(flat, settings, sample_idx, pixel_ids,
-                            with_shadow_state=fused)
+    B = settings.spp_batch if pixel_ids is None else 1
+    if B > 1:
+        npx = settings.num_pixels
+        pixel_ids = jnp.tile(jnp.arange(npx, dtype=jnp.uint32), B)
+        lane_idx = (jnp.asarray(sample_idx, jnp.int32)
+                    + jnp.repeat(jnp.arange(B, dtype=jnp.int32), npx))
+        state = init_path_state(flat, settings, lane_idx, pixel_ids,
+                                with_shadow_state=fused)
+        state["slot"] = pixel_ids.astype(jnp.int32)
+    else:
+        state = init_path_state(flat, settings, sample_idx, pixel_ids,
+                                with_shadow_state=fused)
     body = make_bounce_body(flat, settings, features, tracers)
     n = state["o"].shape[0]
     plan = _compaction_plan(n, settings)
 
-    if len(plan) == 1:
+    if len(plan) == 1 and B == 1:
         def cond(s):
             return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
 
@@ -642,7 +660,18 @@ def render_sample(flat: FlatScene, settings: RenderSettings,
             return final["L"], final["rays"]
         return final["L"]
 
-    out = jnp.zeros((n, 3))
+    if len(plan) == 1:
+        def cond(s):
+            return (s["bounce"] < settings.max_bounces) & jnp.any(s["active"])
+
+        final = body.resolve_pending(jax.lax.while_loop(cond, body, state))
+        out = jnp.zeros((settings.num_pixels, 3)).at[final["slot"]].add(
+            final["L"])
+        if return_stats:
+            return out, final["rays"]
+        return out
+
+    out = jnp.zeros((settings.num_pixels if B > 1 else n, 3))
     base_key = jax.random.PRNGKey(0)
     base_key = jax.random.fold_in(base_key, sample_idx)
     for si, (cap, blimit) in enumerate(plan):
@@ -726,12 +755,18 @@ def render_step_n(flat: FlatScene, settings: RenderSettings,
 
     Amortises per-call dispatch overhead (the remote-TPU tunnel costs up
     to ~28 ms per call) and keeps the accumulator resident. Numerically
-    identical to `count` calls of render_step."""
+    identical to `count` calls of render_step. With settings.spp_batch=B,
+    each render_sample already sums B samples, so the loop runs count/B
+    times (count must be a multiple of B)."""
+    B = max(1, settings.spp_batch)
+    if count % B != 0:
+        raise ValueError(f"count={count} not a multiple of spp_batch={B}")
+
     def body(i, acc):
-        idx = accum_count + i
+        idx = accum_count + i * B
         return acc + render_sample(flat, settings, idx, features=features)
 
-    total = jax.lax.fori_loop(0, count, body,
+    total = jax.lax.fori_loop(0, count // B, body,
                               jnp.zeros((settings.num_pixels, 3)))
     k = accum_count.astype(jnp.float32)
     return (accum * k + total) / (k + float(count))

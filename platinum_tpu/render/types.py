@@ -216,6 +216,11 @@ class RenderSettings:
                                    # more than once and the packet tracer
                                    # is in play)
     compact: bool = False          # wavefront population-control compaction
+    spp_batch: int = 1             # samples per wavefront: B>1 rides B
+                                   # samples of every pixel in ONE wave
+                                   # (B-times wider, 1/B launches per spp;
+                                   # identical estimator — see
+                                   # integrator.render_sample)
     oct_order: bool = False        # near-first octant-ordered traversal for
                                    # closest waves (build-time SMEM orders).
                                    # Wins 3-5% on standalone waves, measured

@@ -305,3 +305,27 @@ def test_chunked_shading_matches_dense():
     st = replace(base, chunk_shade=300)
     img = np.asarray(integrator.render(flat, st))
     np.testing.assert_allclose(img, dense, rtol=0, atol=0)
+
+
+def test_spp_batch_matches_sequential():
+    """settings.spp_batch=B rides B samples of every pixel in one wavefront;
+    per-lane sampler streams draw the identical per-(pixel, sample)
+    sequences, so the result must be BIT-IDENTICAL to B sequential samples
+    (dense and compact, multiple samplers)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from platinum_tpu.render.integrator import render_step_n
+
+    scene, cam = make_cornell_scene()
+    for sampler in ("pcg4d", "halton"):
+        base = RenderSettings(width=32, height=32, spp=4, max_bounces=4,
+                              kernel="mis", sampler=sampler, tracer="packet",
+                              compact=True)
+        flat = flatten_scene(scene, cam, base, accel_min_tris=1)
+        a = np.asarray(render_step_n(flat, base, jnp.zeros((1024, 3)),
+                                     jnp.int32(0), 4))
+        b = np.asarray(render_step_n(flat, replace(base, spp_batch=2),
+                                     jnp.zeros((1024, 3)), jnp.int32(0), 4))
+        np.testing.assert_array_equal(a, b)
