@@ -95,9 +95,16 @@ def main():
     def run(name, scene_cam, settings, **kw):
         if which and name not in which:
             return None
-        scene, cam = scene_cam
-        dt, rays, _, _, _ = _render_config(scene, cam, settings,
-                                           n_iters=n_iters, **kw)
+        # one config's failure (e.g. a tunnel/worker crash on a huge wave)
+        # must not lose the other configs' numbers or the headline line
+        try:
+            scene, cam = scene_cam
+            dt, rays, _, _, _ = _render_config(scene, cam, settings,
+                                               n_iters=n_iters, **kw)
+        except Exception as e:  # noqa: BLE001
+            print(f"# config {name} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+            return None
         r = {
             "config": name,
             "ms_per_spp": round(dt * 1e3, 2),
@@ -107,6 +114,15 @@ def main():
         results.append(r)
         print("# " + json.dumps(r), flush=True)
         return r
+
+    # HEADLINE (run FIRST so a later config failure cannot lose it):
+    # Sponza-class (colonnade, 271k tris, 216 lights), deep BVH,
+    # wavefront compaction stressed. instancing="off" is the measured-faster
+    # configuration for the headline (the baked soup avoids the per-leaf
+    # instance feature transform, ~10%); the instanced path is benched below.
+    head = run("sponza_class_512", make_colonnade_scene(), RenderSettings(
+        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+        sampler="pcg4d", tracer="packet", compact=True, instancing="off"))
 
     # 1. Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
     # picks the dense brute intersector for 12 triangles — the honest best
@@ -154,6 +170,7 @@ def main():
 
     # 5. Studio loop: progressive accumulate + tonemap + PNG export
     if not which or "studio_loop" in which:
+      try:
         from platinum_tpu.post.options import PostProcessOptions
         from platinum_tpu.post.pipeline import postprocess_jit
         from platinum_tpu.render.flatten import analyze_features, flatten_scene
@@ -186,14 +203,9 @@ def main():
              "spp_per_sec": round(1.0 / dt, 2)}
         results.append(r)
         print("# " + json.dumps(r), flush=True)
-
-    # 4. HEADLINE: Sponza-class (colonnade, 271k tris, 216 lights), deep BVH,
-    # wavefront compaction stressed. instancing="off" is the measured-faster
-    # configuration for the headline (the baked soup avoids the per-leaf
-    # instance feature transform, ~10%); the instanced path is benched below.
-    head = run("sponza_class_512", make_colonnade_scene(), RenderSettings(
-        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True, instancing="off"))
+      except Exception as e:  # noqa: BLE001
+        print(f"# config studio_loop FAILED: {type(e).__name__}: {e}",
+              flush=True)
 
     # 4b. The same scene through the two-level TLAS/BLAS instancing path
     # (geometry memory O(meshes), transform edits refit without rebuild)
@@ -205,7 +217,10 @@ def main():
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump({"chip": chip, "results": results}, f, indent=1)
 
-    head = head or results[-1]
+    if head is None and results:
+        head = results[-1]
+    if head is None:
+        head = {"mrays_per_sec": 0.0}
     print(json.dumps({
         "metric": f"Mrays/sec/chip (Sponza-class 271k tris, 512x512, MIS, "
                   f"8 bounces, {chip})",
