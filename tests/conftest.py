@@ -22,6 +22,11 @@ def cpu_mesh_env():
     """Environment for subprocesses needing an 8-device virtual CPU mesh."""
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
+    # pure-CPU subprocesses must not register the axon TPU backend at all:
+    # registration dials the relay at interpreter start, so a dead/busy
+    # tunnel would hang these tests even though they never use the chip
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = (
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
