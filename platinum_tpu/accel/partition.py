@@ -89,7 +89,7 @@ def partition_bvh(bvh: BVH, budget_tris: int = DEFAULT_BUDGET_TRIS
     return parts
 
 
-def make_partitioned_tracer(part_arrays, interpret=None):
+def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     """(trace_closest, trace_any) over a list of per-partition packed wide
     BVHs: [(nodes, tris, meta, slot_global[, octant_orders]), ...].
     Traces sequentially,
@@ -102,7 +102,8 @@ def make_partitioned_tracer(part_arrays, interpret=None):
 
     pairs = [
         make_packet_tracer(n, t, m, s, interpret=interpret,
-                           worder=(p[4] if len(p) > 4 else None))
+                           worder=(p[4] if oct_order and len(p) > 4
+                                   else None))
         for p in part_arrays
         for (n, t, m, s) in [p[:4]]
     ]

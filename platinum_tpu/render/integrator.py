@@ -66,7 +66,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
     if settings.tracer in ("packet", "auto") and flat.wbvh_parts is not None:
         from platinum_tpu.accel.partition import make_partitioned_tracer
 
-        return make_partitioned_tracer(flat.wbvh_parts)
+        return make_partitioned_tracer(flat.wbvh_parts,
+                                       oct_order=settings.oct_order)
     if settings.tracer in ("packet", "auto") and flat.wbvh_nodes is not None:
         from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
