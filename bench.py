@@ -213,6 +213,44 @@ def main():
         width=512, height=512, spp=16, max_bounces=8, kernel="mis",
         sampler="pcg4d", tracer="packet", compact=True, instancing="on"))
 
+    # 5b. Bistro-class studio loop (BASELINE config 5): a >=1M-triangle
+    # variant of the colonnade, which exceeds the VMEM-resident limit and
+    # exercises the partitioned traversal (accel/partition.py) in the
+    # benched configuration. Runs LAST and failure-isolated: it is the
+    # heaviest config (flatten + 4 resident partitions per wave).
+    if not which or "bistro_class_studio" in which:
+      try:
+        from platinum_tpu.render.flatten import analyze_features, flatten_scene
+        from platinum_tpu.render.integrator import render_step_n
+        scene, cam = make_colonnade_scene(columns=24, rows=12)
+        settings = RenderSettings(width=960, height=540, spp=4,
+                                  max_bounces=4, kernel="mis",
+                                  sampler="pcg4d", tracer="packet",
+                                  compact=True, instancing="off")
+        flat = flatten_scene(scene, cam, settings)
+        n_tris = int(flat.geometry.indices.shape[0])
+        n_parts = len(flat.wbvh_parts) if flat.wbvh_parts else 1
+        feats = analyze_features(flat)
+        accum = jnp.zeros((settings.num_pixels, 3))
+        accum = render_step_n(flat, settings, accum, jnp.int32(0), 2,
+                              features=feats)
+
+        def bloop(i):
+            return render_step_n(flat, settings,
+                                 jnp.zeros((settings.num_pixels, 3)),
+                                 jnp.int32(2 * (i + 1)), 2, features=feats)
+
+        dt = _timeit(lambda i: bloop(i), max(2, n_iters // 3)) / 2
+        r = {"config": "bistro_class_studio", "tris": n_tris,
+             "partitions": n_parts,
+             "ms_per_spp": round(dt * 1e3, 2),
+             "spp_per_sec": round(1.0 / dt, 2)}
+        results.append(r)
+        print("# " + json.dumps(r), flush=True)
+      except Exception as e:  # noqa: BLE001
+        print(f"# config bistro_class_studio FAILED: "
+              f"{type(e).__name__}: {e}", flush=True)
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump({"chip": chip, "results": results}, f, indent=1)
