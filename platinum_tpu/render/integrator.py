@@ -739,6 +739,11 @@ def render_step(flat: FlatScene, settings: RenderSettings, accum: jnp.ndarray,
     `accum_count` is how many samples the accumulator already holds;
     `sample_seed` is the global sample index for the RNG (defaults to
     accum_count; differs under GMoN bucketing)."""
+    if settings.spp_batch > 1:
+        # render_sample would sum spp_batch samples while this step's
+        # running mean assumes exactly one — a silent brightness bias
+        raise ValueError("render_step is a 1-spp step; use render_step_n "
+                         "(or spp_batch=1) with sample-batched wavefronts")
     if sample_seed is None:
         sample_seed = accum_count
     radiance = render_sample(flat, settings, sample_seed, features=features)

@@ -220,7 +220,11 @@ class RenderSettings:
                                    # samples of every pixel in ONE wave
                                    # (B-times wider, 1/B launches per spp;
                                    # identical estimator — see
-                                   # integrator.render_sample)
+                                   # integrator.render_sample). Honored by
+                                   # render_sample/render_step_n (which
+                                   # treat one call as B spp); the
+                                   # 1-spp-per-step Renderer/sharded paths
+                                   # ignore it
     oct_order: bool = False        # near-first octant-ordered traversal for
                                    # closest waves (build-time SMEM orders).
                                    # Wins 3-5% on standalone waves, measured

@@ -45,6 +45,56 @@ def _build(v0, v1, v2, leaf_cap=16):
     return wide, geom
 
 
+def _mt_f64(o, d, v0, v1, v2):
+    """Double-precision Möller-Trumbore for one ray vs all triangles.
+    Returns (t, u, v, det) arrays — the ground truth used to certify that
+    every packet-vs-brute disagreement is a genuine borderline case."""
+    o = o.astype(np.float64)
+    d = d.astype(np.float64)
+    e1 = (v1 - v0).astype(np.float64)
+    e2 = (v2 - v0).astype(np.float64)
+    p = np.cross(d[None, :], e2)
+    det = (e1 * p).sum(-1)
+    inv = np.where(det != 0.0, 1.0 / np.where(det == 0.0, 1.0, det), np.inf)
+    s = o[None, :] - v0.astype(np.float64)
+    u = (s * p).sum(-1) * inv
+    q = np.cross(s, e1)
+    v = (d[None, :] * q).sum(-1) * inv
+    t = (e2 * q).sum(-1) * inv
+    return t, u, v, det
+
+
+def _assert_borderline(i, o, d, v0, v1, v2, tmin, tmax, why,
+                       bary_eps=2e-4, t_rel=2e-4):
+    """Certify that ray `i`'s packet/brute disagreement is a legitimate
+    float32-roundoff case: in float64 the ray grazes some triangle within
+    eps of the valid-region boundary (barycentric edge, t-range end, or a
+    near-zero determinant), so the f32 accept/reject decision may flip
+    with FMA order. A disagreement with NO such borderline triangle is a
+    real traversal bug and fails the test."""
+    oi, di = np.asarray(o)[i], np.asarray(d)[i]
+    t, u, v, det = _mt_f64(oi, di, v0, v1, v2)
+    w = 1.0 - u - v
+    near_valid = ((u > -bary_eps) & (v > -bary_eps) & (w > -bary_eps)
+                  & (t > tmin * (1 - t_rel)) & (t < tmax * (1 + t_rel))
+                  & np.isfinite(t))
+    bary_border = np.minimum(np.minimum(np.abs(u), np.abs(v)), np.abs(w))
+    t_border = np.abs(t - tmin)
+    if np.isfinite(tmax):
+        t_border = np.minimum(t_border, np.abs(t - tmax))
+    scale = np.abs(det).max() + 1e-30
+    borderline = near_valid & (
+        (bary_border < bary_eps)
+        | (t_border < t_rel * np.maximum(np.abs(t), 1.0))
+        | (np.abs(det) < 1e-6 * scale)
+    )
+    assert borderline.any(), (
+        f"ray {i} ({why}): packet and brute disagree but no triangle is "
+        f"borderline in f64 — min bary boundary distance "
+        f"{bary_border[near_valid].min() if near_valid.any() else np.inf:.3e}"
+    )
+
+
 def test_wide_bvh_structure():
     v0, v1, v2 = _random_soup(t=3000, seed=3)
     for cap in (8, 16, 31 * 8):
@@ -72,6 +122,11 @@ def test_packet_matches_brute(leaf_cap):
     # differently between FMA orders; allow a tiny disagreement budget)
     agree = hp == hb
     assert agree.mean() > 0.995, f"hit sets differ: {(~agree).sum()} rays"
+    # Every hit-set disagreement must be certifiably borderline in f64 —
+    # the budget above bounds the rate, this bounds the KIND: a non-graze
+    # disagreement is a traversal bug, not FMA noise.
+    for i in np.nonzero(~agree)[0]:
+        _assert_borderline(i, o, d, v0, v1, v2, 1e-3, np.inf, "closest hit/miss")
     both = hp & hb
     trip, trib = np.asarray(rec_p.tri)[both], np.asarray(rec_b.tri)[both]
     tie = ~np.isclose(np.asarray(rec_p.t)[both], np.asarray(rec_b.t)[both],
@@ -86,6 +141,8 @@ def test_packet_matches_brute(leaf_cap):
     occ_p = np.asarray(jax.jit(lambda o, d: ta(o, d, 1e-3, 8.0))(o, d))
     occ_b = np.asarray(jax.jit(lambda o, d: ba(o, d, 1e-3, 8.0))(o, d))
     assert (occ_p == occ_b).mean() > 0.995
+    for i in np.nonzero(occ_p != occ_b)[0]:
+        _assert_borderline(i, o, d, v0, v1, v2, 1e-3, 8.0, "occlusion")
 
 
 @pytest.mark.parametrize("pops,ordered,pipe,oct", [(1, False, False, False),
