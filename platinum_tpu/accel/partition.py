@@ -91,9 +91,14 @@ def partition_bvh(bvh: BVH, budget_tris: int = DEFAULT_BUDGET_TRIS
 
 def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     """(trace_closest, trace_any) over a list of per-partition packed wide
-    BVHs: [(nodes, tris, meta, slot_global[, octant_orders]), ...].
-    Traces sequentially,
+    BVHs: [(nodes, tris, meta, slot_global[, octant_orders[, inst_feat,
+    inst_map]]), ...]. Traces sequentially,
     carrying the best hit so far as tmax so later partitions are culled.
+
+    7-tuples are INSTANCED partitions (accel.tlas.partition_instanced):
+    inst_feat feeds the kernel's per-instance feature transforms and the
+    partition-LOCAL instance ids it reports are remapped through inst_map
+    (i32 local -> global) so shading keeps one global InstanceTable.
     """
     import jax.numpy as jnp
 
@@ -103,12 +108,15 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     pairs = [
         make_packet_tracer(n, t, m, s, interpret=interpret,
                            worder=(p[4] if oct_order and len(p) > 4
-                                   else None))
+                                   and p[4] is not None else None),
+                           inst_feat=(p[5] if len(p) > 6 else None))
         for p in part_arrays
         for (n, t, m, s) in [p[:4]]
     ]
     closest_tracers = [p[0] for p in pairs]
     any_tracers = [p[1] for p in pairs]
+    inst_maps = [p[6] if len(p) > 6 else None for p in part_arrays]
+    instanced = any(m is not None for m in inst_maps)
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
         r = o.shape[0]
@@ -117,19 +125,26 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
             tri=jnp.full((r,), -1, jnp.int32),
             bary=jnp.zeros((r, 2)),
             hit=jnp.zeros((r,), bool),
+            inst=(jnp.zeros((r,), jnp.int32) if instanced else None),
         )
-        for tc in closest_tracers:
+        for tc, imap in zip(closest_tracers, inst_maps):
             rec = tc(o, d, tmin, best.t, active=active)
             closer = rec.hit & (rec.t < best.t)
+            g_inst = best.inst
+            if imap is not None:
+                local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
+                g_inst = jnp.where(closer, imap[local].astype(jnp.int32),
+                                   best.inst)
             best = HitRecord(
                 t=jnp.where(closer, rec.t, best.t),
                 tri=jnp.where(closer, rec.tri, best.tri),
                 bary=jnp.where(closer[:, None], rec.bary, best.bary),
                 hit=best.hit | closer,
+                inst=g_inst,
             )
         return HitRecord(
             t=jnp.where(best.hit, best.t, INF),
-            tri=best.tri, bary=best.bary, hit=best.hit,
+            tri=best.tri, bary=best.bary, hit=best.hit, inst=best.inst,
         )
 
     def trace_any(o, d, tmin, tmax, active=None) -> jnp.ndarray:

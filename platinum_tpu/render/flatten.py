@@ -617,9 +617,29 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
                    if s < len(inst.material_ids) else None)
             slot_mat[i, s] = material_row(mid)
 
-    ibvh = build_instanced_bvh(mesh_wides, mesh_tri_base, inst_mesh_mat)
+    # Beyond-VMEM instanced scenes: split into spatial instance groups, one
+    # resident TLAS/BLAS structure each, traced sequentially with carried
+    # best-t (accel.tlas.partition_instanced + accel.partition tracer).
+    # Projected single-structure footprint decides — cheap to compute and
+    # avoids assembling a structure we would only throw away.
+    mesh_blk = {m: w.tri_blocks.nbytes for m, w in enumerate(mesh_wides)}
+    projected = (sum(mesh_blk.values())
+                 + sum(mesh_wides[mi].nodes.nbytes + 10 * 128 * 4
+                       for mi, _ in inst_mesh_mat))
+    ibvh = None
+    ibvh_parts = None
+    if projected > settings.partition_bytes:
+        from platinum_tpu.accel.tlas import partition_instanced
+
+        ibvh_parts = partition_instanced(mesh_wides, mesh_tri_base,
+                                         inst_mesh_mat,
+                                         settings.partition_bytes)
+    else:
+        ibvh = build_instanced_bvh(mesh_wides, mesh_tri_base, inst_mesh_mat)
     if host_accel_out is not None:
-        host_accel_out.update(ibvh=ibvh, mesh_wides=mesh_wides,
+        host_accel_out.update(ibvh=ibvh, ibvh_parts=ibvh_parts,
+                              mesh_wides=mesh_wides,
+                              mesh_tri_base=list(mesh_tri_base),
                               instances=list(instances))
 
     materials, flags, emission = _material_arrays(
@@ -692,17 +712,51 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
         atlas_table=(jnp.asarray(atlas_table)
                      if atlas_table is not None else None),
         luts=_get_luts(),
+        **(_instanced_accel_arrays(ibvh, build_octant_orders)
+           if ibvh is not None
+           else dict(wbvh_parts=tuple(
+               _instanced_part_arrays(part, gids, build_octant_orders)
+               for part, gids, _ in ibvh_parts))),
+        instances=InstanceTable(
+            rows=jnp.asarray(inst_rows),
+            slot_mat=jnp.asarray(slot_mat),
+            feat=jnp.asarray(_global_inst_feat(ibvh, ibvh_parts, n_inst)),
+        ),
+    )
+
+
+def _instanced_accel_arrays(ibvh, build_octant_orders):
+    """FlatScene accel kwargs for a single resident TLAS/BLAS structure."""
+    return dict(
         wbvh_nodes=jnp.asarray(ibvh.nodes),
         wbvh_tris=jnp.asarray(ibvh.tri_blocks),
         wbvh_meta=jnp.asarray(ibvh.meta),
         wbvh_slot=jnp.asarray(ibvh.tri_of_slot.astype(np.int32)),
         wbvh_order=jnp.asarray(build_octant_orders(np.asarray(ibvh.nodes))),
-        instances=InstanceTable(
-            rows=jnp.asarray(inst_rows),
-            slot_mat=jnp.asarray(slot_mat),
-            feat=jnp.asarray(ibvh.inst_feat),
-        ),
     )
+
+
+def _instanced_part_arrays(ibvh, global_ids, build_octant_orders):
+    """One partition's 7-tuple for accel.partition.make_partitioned_tracer:
+    (nodes, tris, meta, slot, worder, inst_feat, local->global map)."""
+    return (jnp.asarray(ibvh.nodes),
+            jnp.asarray(ibvh.tri_blocks),
+            jnp.asarray(ibvh.meta),
+            jnp.asarray(ibvh.tri_of_slot.astype(np.int32)),
+            jnp.asarray(build_octant_orders(np.asarray(ibvh.nodes))),
+            jnp.asarray(ibvh.inst_feat),
+            jnp.asarray(global_ids.astype(np.int32)))
+
+
+def _global_inst_feat(ibvh, ibvh_parts, n_inst):
+    """Globally-indexed (I, 10, 128) feature transforms — direct from the
+    single structure, or scattered from each partition's local rows."""
+    if ibvh is not None:
+        return ibvh.inst_feat
+    feat = np.zeros((n_inst, 10, 128), F)
+    for part, gids, _ in ibvh_parts:
+        feat[gids] = part.inst_feat
+    return feat
 
 
 def _get_luts():

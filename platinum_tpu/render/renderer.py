@@ -138,18 +138,46 @@ class Renderer:
         if idx is None:
             raise KeyError(f"node {node_id} is not a mesh instance")
         m = self.scene.world_transform(node_id)
-        update_instance_transform(ibvh, wides, idx, m)
         inst_rows = np.asarray(self.flat.instances.rows).copy()
         inst_rows[idx, 0:9] = np.asarray(m[:3, :3], np.float64).reshape(-1)
         nm = np.linalg.inv(np.asarray(m[:3, :3], np.float64)).T
         inst_rows[idx, 9:18] = nm.reshape(-1)
+        feat = np.asarray(self.flat.instances.feat).copy()
+        if ibvh is not None:
+            update_instance_transform(ibvh, wides, idx, m)
+            feat[idx] = ibvh.inst_feat[idx]
+            accel_update = dict(wbvh_nodes=jnp.asarray(ibvh.nodes))
+        else:
+            # partitioned instanced scene (accel.tlas.partition_instanced):
+            # refit the OWNING partition only and re-upload just its arrays.
+            # Each partition's mesh library is compacted to the meshes it
+            # uses, so its local update sees the compacted wides list.
+            from platinum_tpu.accel.wide import build_octant_orders
+            from platinum_tpu.render.flatten import _instanced_part_arrays
+
+            parts = list(self.flat.wbvh_parts)
+            for pi, (part, gids, used) in enumerate(
+                    self._host_accel["ibvh_parts"]):
+                where = np.nonzero(np.asarray(gids) == idx)[0]
+                if not len(where):
+                    continue
+                local = int(where[0])
+                sub_wides = [wides[u] for u in used]
+                update_instance_transform(part, sub_wides, local, m)
+                feat[idx] = part.inst_feat[local]
+                parts[pi] = _instanced_part_arrays(part, np.asarray(gids),
+                                                   build_octant_orders)
+                break
+            else:
+                raise KeyError(f"instance {idx} not in any partition")
+            accel_update = dict(wbvh_parts=tuple(parts))
         self.flat = dataclasses.replace(
             self.flat,
-            wbvh_nodes=jnp.asarray(ibvh.nodes),
+            **accel_update,
             instances=InstanceTable(
                 rows=jnp.asarray(inst_rows.astype(np.float32)),
                 slot_mat=self.flat.instances.slot_mat,
-                feat=jnp.asarray(ibvh.inst_feat),
+                feat=jnp.asarray(feat),
             ),
         )
         # progressive restart (accumulators are per-scene-state)

@@ -245,6 +245,12 @@ class RenderSettings:
     wide_leaf_cap: int = 64        # fat-leaf cap for the 16-wide packet BVH
     partition_tris: int = 350_000  # per-partition triangle budget (beyond-
                                    # VMEM scenes split into resident chunks)
+    partition_bytes: int = 88 << 20  # per-partition VMEM budget for
+                                   # INSTANCED scenes (accel.tlas.
+                                   # partition_instanced splits the stitched
+                                   # TLAS/BLAS structure when it outgrows
+                                   # this; ~the byte equivalent of
+                                   # partition_tris for baked soups)
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property

@@ -188,3 +188,120 @@ def test_feature_transform_matrix():
 
         np.testing.assert_allclose(T @ feat(o, d), feat(op, dp),
                                    rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Partition-of-TLAS: beyond-VMEM INSTANCED scenes (accel.tlas.
+# partition_instanced) — composes the two round-3 structures that
+# previously did not compose (COVERAGE.md known-gaps item).
+# ---------------------------------------------------------------------------
+
+def _partitioned_flats(scene, cam, budget=60_000):
+    import dataclasses
+
+    si = RenderSettings(width=48, height=48, instancing="on",
+                        tracer="packet")
+    sp = dataclasses.replace(si, partition_bytes=budget)
+    host1, host2 = {}, {}
+    flat1 = flatten_scene(scene, cam, si, accel_min_tris=1,
+                          host_accel_out=host1)
+    flat2 = flatten_scene(scene, cam, sp, accel_min_tris=1,
+                          host_accel_out=host2)
+    return flat1, si, flat2, sp, host1, host2
+
+
+def test_partitioned_instanced_matches_single():
+    """Forcing a tiny partition budget splits the instanced scene into
+    several resident TLAS/BLAS structures; the carried-best-t partitioned
+    tracer must agree with the single structure on hits, t, GLOBAL
+    instance ids, and occlusion."""
+    scene, cam = _instanced_scene(n_inst=24)
+    flat1, si, flat2, sp, _, host2 = _partitioned_flats(scene, cam)
+    assert flat1.wbvh_nodes is not None and flat1.wbvh_parts is None
+    assert flat2.wbvh_parts is not None and flat2.wbvh_nodes is None
+    assert len(flat2.wbvh_parts) >= 2
+    # every instance lands in exactly one partition
+    gids = np.concatenate([np.asarray(g) for _, g, _ in host2["ibvh_parts"]])
+    assert sorted(gids.tolist()) == list(range(24))
+
+    tc1, ta1 = make_tracers(flat1, si)
+    tc2, ta2 = make_tracers(flat2, sp)
+    rng = np.random.default_rng(7)
+    r = 2048
+    o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    r1 = jax.jit(lambda o, d: tc1(o, d, 1e-3, jnp.inf))(o, d)
+    r2 = jax.jit(lambda o, d: tc2(o, d, 1e-3, jnp.inf))(o, d)
+    h1, h2 = np.asarray(r1.hit), np.asarray(r2.hit)
+    assert (h1 == h2).mean() > 0.999
+    both = h1 & h2
+    np.testing.assert_allclose(np.asarray(r1.t)[both], np.asarray(r2.t)[both],
+                               rtol=1e-4, atol=1e-4)
+    # instance ids must be the GLOBAL ones after the per-partition remap
+    same_t = np.isclose(np.asarray(r1.t), np.asarray(r2.t),
+                        rtol=1e-5, atol=1e-6)
+    check = both & same_t
+    np.testing.assert_array_equal(np.asarray(r1.inst)[check],
+                                  np.asarray(r2.inst)[check])
+    occ1 = np.asarray(jax.jit(lambda o, d: ta1(o, d, 1e-3, 6.0))(o, d))
+    occ2 = np.asarray(jax.jit(lambda o, d: ta2(o, d, 1e-3, 6.0))(o, d))
+    assert (occ1 == occ2).mean() > 0.999
+
+
+def test_partitioned_instanced_render_matches_single():
+    scene, cam = _instanced_scene(n_inst=24)
+    import dataclasses
+
+    imgs = {}
+    for budget in (None, 60_000):
+        settings = RenderSettings(width=48, height=48, spp=6, max_bounces=3,
+                                  sampler="pcg4d", kernel="mis",
+                                  instancing="on", tracer="packet")
+        if budget:
+            settings = dataclasses.replace(settings, partition_bytes=budget)
+        flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+        imgs[budget] = np.asarray(render(flat, settings,
+                                         features=analyze_features(flat)))
+    a, b = imgs[None], imgs[60_000]
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.01
+    assert np.median(np.abs(a - b)) < 5e-3
+
+
+def test_partitioned_transform_edit_refits_one_partition():
+    """Renderer.update_instance_transform on a partitioned instanced scene
+    refits only the owning partition and traces like a full re-flatten."""
+    import dataclasses
+
+    from platinum_tpu.render.renderer import Renderer
+
+    scene, cam = _instanced_scene(n_inst=24, emissive=False, seed=3)
+    settings = RenderSettings(width=8, height=8, spp=1, instancing="on",
+                              tracer="packet", partition_bytes=60_000)
+    r = Renderer(scene)
+    r.start_render(cam, settings)
+    assert r.flat.wbvh_parts is not None and len(r.flat.wbvh_parts) >= 2
+
+    node_id = r._host_accel["instances"][5].node_id
+    from platinum_tpu.core.transform import Transform
+
+    r.update_instance_transform(node_id, Transform(
+        translation=[2.0, 1.0, -1.5], rotation=[0.3, 0.2, 0.1],
+        scale=[1.4] * 3))
+
+    flat2 = flatten_scene(scene, cam, settings, accel_min_tris=1)
+    tc1, _ = make_tracers(r.flat, settings)
+    tc2, _ = make_tracers(flat2, settings)
+    rng = np.random.default_rng(1)
+    n = 1024
+    o = jnp.asarray(rng.uniform(-6, 6, (n, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    r1 = jax.jit(lambda o, d: tc1(o, d, 1e-3, jnp.inf))(o, d)
+    r2 = jax.jit(lambda o, d: tc2(o, d, 1e-3, jnp.inf))(o, d)
+    h1, h2 = np.asarray(r1.hit), np.asarray(r2.hit)
+    assert (h1 == h2).mean() > 0.995
+    both = h1 & h2
+    np.testing.assert_allclose(np.asarray(r1.t)[both], np.asarray(r2.t)[both],
+                               rtol=1e-4, atol=1e-4)
