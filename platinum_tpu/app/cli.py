@@ -172,14 +172,24 @@ def cmd_preview_interactive(args):
 
       orbit DX DY | pan DX DY | zoom D     camera controls
       pick X Y                             object id under a pixel
-      select ID                            set selection (outlined)
+      select ID                            queue selection (outlined; applied
+                                           between frames like the reference)
+      remove ID [recursive|to_parent|to_root]  queue node removal
+      import PATH                          glTF import under the selection
+      savescene PATH                       write the scene as .ptscene
       frame                                write a studio frame
       spp N                                set progressive sample budget
       render [N]                           progressive PT render (N spp),
                                            writing the image as it converges
       save PATH                            write the current image
       quit                                 exit
+
+    Scene edits (select/remove/import) go through the Store's deferred-
+    action queue (app.store.Store, reference store.cpp:56-67): they latch
+    on the store and apply between frames, never mid-frame.
     """
+    from platinum_tpu.app.store import Store
+    from platinum_tpu.core.scene import RemoveMode
     from platinum_tpu.io.png import write_png
     from platinum_tpu.render.renderer import Renderer, RenderStatus
     from platinum_tpu.render.studio import StudioRenderer
@@ -188,10 +198,10 @@ def cmd_preview_interactive(args):
     scene, cam_id = _load_scene(args.scene)
     cam_id = _ensure_camera(scene, cam_id, args)
     w, h = (int(v) for v in args.size.split("x"))
+    store = Store(scene)
     studio = StudioRenderer(scene, width=w, height=h)
     m = scene.world_transform(cam_id)
     studio.camera_to(m[:3, 3], m[:3, 3] - m[:3, 2] * 10.0)
-    selected = -1
     spp = 16
     last = None
 
@@ -201,7 +211,17 @@ def cmd_preview_interactive(args):
         write_png(args.output, img)
         print(f"frame {args.output}", flush=True)
 
-    emit(studio.render(selected_node=selected))
+    def step_frame(scene_dirty: bool = False):
+        """Apply deferred store actions, then render one studio frame."""
+        from platinum_tpu.app.store import NodeAction
+
+        action, _ = store.update()
+        if action == NodeAction.REMOVE or scene_dirty:
+            studio.invalidate()
+        sel = store.selected_node if store.selected_node is not None else -1
+        emit(studio.render(selected_node=sel))
+
+    step_frame()
     print("ready", flush=True)
     for line in sys.stdin:
         parts = line.split()
@@ -213,21 +233,36 @@ def cmd_preview_interactive(args):
                 break
             elif cmd == "orbit":
                 studio.handle_orbit(float(rest[0]), float(rest[1]))
-                emit(studio.render(selected_node=selected))
+                step_frame()
             elif cmd == "pan":
                 studio.handle_pan(float(rest[0]), float(rest[1]))
-                emit(studio.render(selected_node=selected))
+                step_frame()
             elif cmd == "zoom":
                 studio.handle_zoom(float(rest[0]))
-                emit(studio.render(selected_node=selected))
+                step_frame()
             elif cmd == "pick":
                 nid = studio.readback_object_id_at(int(rest[0]), int(rest[1]))
                 print(f"picked {nid}", flush=True)
             elif cmd == "select":
-                selected = int(rest[0])
-                emit(studio.render(selected_node=selected))
+                store.select_node(int(rest[0]))
+                step_frame()
+            elif cmd == "remove":
+                mode = {"recursive": RemoveMode.RECURSIVE,
+                        "to_parent": RemoveMode.MOVE_TO_PARENT,
+                        "to_root": RemoveMode.MOVE_TO_ROOT}[
+                    rest[1] if len(rest) > 1 else "recursive"]
+                store.remove_node(int(rest[0]), mode)
+                step_frame()
+                print(f"removed {rest[0]}", flush=True)
+            elif cmd == "import":
+                roots = store.import_gltf(rest[0])
+                step_frame(scene_dirty=True)
+                print(f"imported {rest[0]} nodes {roots}", flush=True)
+            elif cmd == "savescene":
+                store.save_as(rest[0])
+                print(f"scene saved {rest[0]}", flush=True)
             elif cmd == "frame":
-                emit(studio.render(selected_node=selected))
+                step_frame()
             elif cmd == "spp":
                 spp = int(rest[0])
                 print(f"spp {spp}", flush=True)

@@ -53,11 +53,13 @@ def test_interactive_preview_session(tmp_path):
 
     out = str(tmp_path / "view.png")
     save = str(tmp_path / "kept.png")
+    scn = str(tmp_path / "session.ptscene")
     script = "\n".join([
         "pick 16 16",
         "orbit 0.4 0.1",
         "zoom -2.0",
         "select 1",
+        f"savescene {scn}",
         "render 2",
         f"save {save}",
         "quit",
@@ -74,4 +76,6 @@ def test_interactive_preview_session(tmp_path):
     assert "rendered 2 spp" in proc.stdout
     assert proc.stdout.count("frame ") >= 5   # one per edit + progressive
     assert "bye" in proc.stdout
+    assert "scene saved" in proc.stdout
     assert os.path.exists(out) and os.path.exists(save)
+    assert os.path.exists(scn)   # store.save_as through the session
