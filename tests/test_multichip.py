@@ -193,3 +193,107 @@ print("MULTIHOST OK", dict(mesh.shape))
 """
     out = run_in_cpu_mesh(code, cpu_mesh_env)
     assert "MULTIHOST OK" in out
+
+
+def test_geometry_sharded_tracer_matches_sequential(cpu_mesh_env):
+    """Geometry sharding (parallel.geometry): partitions distributed over a
+    'geom' mesh axis must produce the identical hits/occlusion the
+    single-device sequential partitioned tracer does — same winners, same
+    tie-breaking — for both baked-soup and INSTANCED partitions."""
+    code = """
+import dataclasses
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from platinum_tpu.app.scenes import make_colonnade_scene
+from platinum_tpu.render.flatten import flatten_scene
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.render.integrator import make_tracers
+from platinum_tpu.parallel.geometry import make_geom_sharded_tracer
+
+rng = np.random.default_rng(3)
+r = 1024
+o = jnp.asarray(rng.uniform(-8, 8, (r, 3)).astype(np.float32))
+d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+mesh = Mesh(np.asarray(jax.devices()), ("geom",))
+
+# --- baked-soup partitions (tiny budget forces several) ---------------
+scene, cam = make_colonnade_scene(columns=4, rows=2, sphere_res=(10, 14))
+s = RenderSettings(width=8, height=8, tracer="packet", partition_tris=800,
+                   instancing="off")
+flat = flatten_scene(scene, cam, s, accel_min_tris=1)
+assert flat.wbvh_parts is not None and len(flat.wbvh_parts) >= 3
+
+tc_seq, ta_seq = make_tracers(flat, s)
+tc_g, ta_g = make_geom_sharded_tracer(flat.wbvh_parts, mesh)
+r1 = jax.jit(lambda o, d: tc_seq(o, d, 1e-3, jnp.inf))(o, d)
+r2 = jax.jit(lambda o, d: tc_g(o, d, 1e-3, jnp.inf))(o, d)
+np.testing.assert_array_equal(np.asarray(r1.hit), np.asarray(r2.hit))
+np.testing.assert_array_equal(np.asarray(r1.tri), np.asarray(r2.tri))
+np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r2.t), rtol=0, atol=0)
+occ1 = np.asarray(jax.jit(lambda o, d: ta_seq(o, d, 1e-3, 9.0))(o, d))
+occ2 = np.asarray(jax.jit(lambda o, d: ta_g(o, d, 1e-3, 9.0))(o, d))
+np.testing.assert_array_equal(occ1, occ2)
+print("SOUP OK", len(flat.wbvh_parts))
+
+# --- instanced partitions (partition-of-TLAS) --------------------------
+import sys, os
+sys.path.insert(0, os.path.join(os.environ["REPO_DIR"], "tests"))
+from test_tlas import _instanced_scene
+scene2, cam2 = _instanced_scene(n_inst=24)
+s2 = RenderSettings(width=8, height=8, instancing="on", tracer="packet",
+                    partition_bytes=60_000)
+flat2 = flatten_scene(scene2, cam2, s2, accel_min_tris=1)
+assert flat2.wbvh_parts is not None and len(flat2.wbvh_parts) >= 2
+tc_seq2, _ = make_tracers(flat2, s2)
+tc_g2, _ = make_geom_sharded_tracer(flat2.wbvh_parts, mesh)
+q1 = jax.jit(lambda o, d: tc_seq2(o, d, 1e-3, jnp.inf))(o, d)
+q2 = jax.jit(lambda o, d: tc_g2(o, d, 1e-3, jnp.inf))(o, d)
+np.testing.assert_array_equal(np.asarray(q1.hit), np.asarray(q2.hit))
+np.testing.assert_array_equal(np.asarray(q1.tri), np.asarray(q2.tri))
+np.testing.assert_array_equal(np.asarray(q1.inst), np.asarray(q2.inst))
+print("INSTANCED OK", len(flat2.wbvh_parts))
+"""
+    env = dict(cpu_mesh_env)
+    env["REPO_DIR"] = REPO_DIR
+    out = run_in_cpu_mesh(code, env, timeout=2400)
+    assert "SOUP OK" in out and "INSTANCED OK" in out
+
+
+def test_geom_sharded_step_matches_unsharded(cpu_mesh_env):
+    """3-axis sharding (sample x tile x geom): the full progressive step
+    with geometry distributed over the mesh must reproduce the unsharded
+    partitioned render."""
+    code = """
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import Mesh
+from platinum_tpu.app.scenes import make_colonnade_scene
+from platinum_tpu.render.flatten import analyze_features, flatten_scene
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.render import integrator
+from platinum_tpu.parallel.geometry import make_geom_sharded_step
+
+scene, cam = make_colonnade_scene(columns=4, rows=2, sphere_res=(10, 14))
+settings = RenderSettings(width=16, height=16, spp=2, max_bounces=3,
+                          sampler="pcg4d", tracer="packet",
+                          partition_tris=800, instancing="off")
+flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+assert flat.wbvh_parts is not None and len(flat.wbvh_parts) >= 2
+feats = analyze_features(flat)
+
+ref = np.asarray(integrator.render(flat, settings, features=feats))
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(2, 2, 2),
+            ("sample", "tile", "geom"))
+step = make_geom_sharded_step(flat, settings, mesh, features=feats)
+accum = jnp.zeros((settings.num_pixels, 3))
+for i in range(settings.spp // 2):
+    accum = step(accum, jnp.int32(i))
+img = np.asarray(accum).reshape(ref.shape)
+
+err = np.abs(img - ref).max()
+print("MAXERR", err)
+assert err < 1e-5, err
+"""
+    out = run_in_cpu_mesh(code, cpu_mesh_env, timeout=2400)
+    assert "MAXERR" in out
