@@ -584,8 +584,98 @@ def sim_imbalance():
           flush=True)
 
 
+
+
+def sim_width():
+    """Packet WIDTH sweep (the campaign varied packet COUNT per grid step,
+    never width): per-ray visits/blocks at 128/64/32/16-ray packets on the
+    primary wave and the realistic diffuse-bounce wave. If narrow packets
+    cut bounce-wave unions by a lot, a sub-packet kernel (multiple
+    independent stacks per 128-lane block) could pay for its extra scalar
+    walks; if not, the 128-lane design is vindicated at the union level."""
+    import jax.numpy as jnp
+    from platinum_tpu.app.scenes import make_colonnade_scene
+    from platinum_tpu.models.camera_rays import spawn_camera_rays
+    from platinum_tpu.render.flatten import flatten_scene
+    from platinum_tpu.render.types import RenderSettings
+
+    size = 512
+    settings = RenderSettings(width=size, height=size, spp=1,
+                              instancing="off")
+    scene, cam = make_colonnade_scene()
+    flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
+    nodes = np.asarray(flat.wbvh_nodes)
+    meta = np.asarray(flat.wbvh_meta)
+    blocks = np.asarray(flat.wbvh_tris)
+    geo = np.asarray(flat.geometry.positions)
+    idx = np.asarray(flat.geometry.indices)
+    n = size * size
+
+    px = np.arange(n, dtype=np.uint32) % size
+    py = np.arange(n, dtype=np.uint32) // size
+    po, pd = spawn_camera_rays(flat.camera, jnp.asarray(px), jnp.asarray(py),
+                               jnp.zeros((n, 2)) + 0.5, jnp.zeros((n, 2)) + 0.5)
+    po, pd = np.asarray(po), np.asarray(pd)
+
+    rng = np.random.default_rng(1)
+    tsel = rng.integers(0, len(idx), n)
+    v0 = geo[idx[tsel, 0]]
+    e1 = geo[idx[tsel, 1]] - v0
+    e2 = geo[idx[tsel, 2]] - v0
+    r1, r2 = rng.uniform(0, 1, (2, n)).astype(np.float32)
+    flip = r1 + r2 > 1
+    r1 = np.where(flip, 1 - r1, r1)
+    r2 = np.where(flip, 1 - r2, r2)
+    org = (v0 + r1[:, None] * e1 + r2[:, None] * e2).astype(np.float32)
+    nrm = np.cross(e1, e2)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-20
+    u1, u2 = rng.uniform(0, 1, (2, n)).astype(np.float32)
+    rad = np.sqrt(u1)
+    phi = 2 * np.pi * u2
+    t0 = np.where(np.abs(nrm[:, 0:1]) < 0.9, [1.0, 0, 0], [0, 1.0, 0])
+    tx = np.cross(nrm, t0)
+    tx /= np.linalg.norm(tx, axis=-1, keepdims=True) + 1e-20
+    ty = np.cross(nrm, tx)
+    dirs = (tx * (rad * np.cos(phi))[:, None]
+            + ty * (rad * np.sin(phi))[:, None]
+            + nrm * np.sqrt(np.maximum(1 - u1, 0))[:, None]).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-20
+    org = org + nrm * 1e-3
+
+    root = nodes[0].reshape(16, 8)
+    valid = root[:, 6] != -1.0
+    lo = root[valid, 0:3].min(0)
+    hi = root[valid, 3:6].max(0)
+    inv_extent = 1.0 / np.clip(hi - lo, 1e-12, None)
+
+    for label, (o_, d_) in [("primary", (po, pd)),
+                            ("diffuse_bounce", (org, dirs))]:
+        key = sort_key(o_, d_, lo, inv_extent)
+        order = np.argsort(key, kind="stable")
+        so, sd = o_[order], d_[order]
+        print(f"## {label}")
+        for w in (128, 64, 32, 16):
+            npk = n // w
+            take = rng.choice(npk, size=min(96, npk), replace=False)
+            vs, bs = [], []
+            for pi in take:
+                v, b = walk_packet(nodes, meta, blocks,
+                                   so[pi * w:(pi + 1) * w],
+                                   sd[pi * w:(pi + 1) * w], 1e30)
+                vs.append(v)
+                bs.append(b)
+            print({"width": w,
+                   "per_ray_visits": round(np.mean(vs) / w, 3),
+                   "per_ray_blocks": round(np.mean(bs) / w, 3),
+                   "visits_per_packet": round(float(np.mean(vs)), 1),
+                   "blocks_per_packet": round(float(np.mean(bs)), 1)},
+                  flush=True)
+
+
 if __name__ == "__main__":
-    if "multispp" in sys.argv:
+    if "width" in sys.argv:
+        sim_width()
+    elif "multispp" in sys.argv:
         sim_multispp()
     elif "leafcap" in sys.argv:
         sim_leafcap()
