@@ -1,0 +1,26 @@
+#!/bin/bash
+# On-chip validation sequence for after a relay outage: run the tests whose
+# semantics depend on real-hardware FMA/Mosaic behavior, then refresh the
+# bench. Run from the repo root with the relay up. Usage:
+#   bash perf/onchip_validate.sh [quick|full]
+set -u
+cd "$(dirname "$0")/.."
+MODE="${1:-quick}"
+
+echo "== 1. packet-vs-brute borderline certification (hardware FMA) =="
+timeout 3600 python -m pytest tests/test_pallas_trace.py::test_packet_matches_brute -x -q || exit 1
+
+echo "== 2. kernel variants vs oracle =="
+timeout 3600 python -m pytest tests/test_pallas_trace.py::test_packet_kernel_variants_match_brute -q || exit 1
+
+echo "== 3. partitioned-instanced suite on chip =="
+timeout 3600 python -m pytest tests/test_tlas.py -q || exit 1
+
+if [ "$MODE" = "full" ]; then
+  echo "== 4. full suite =="
+  timeout 7200 python -m pytest tests/ -q || exit 1
+fi
+
+echo "== 5. bench refresh =="
+timeout 5400 python bench.py || exit 1
+echo "ALL ON-CHIP VALIDATION GREEN"
