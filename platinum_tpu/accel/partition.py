@@ -102,7 +102,7 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     """
     import jax.numpy as jnp
 
-    from platinum_tpu.ops.intersect import INF, HitRecord
+    from platinum_tpu.ops.intersect import INF, HitRecord, fold_closest
     from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
     pairs = [
@@ -129,19 +129,11 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
         )
         for tc, imap in zip(closest_tracers, inst_maps):
             rec = tc(o, d, tmin, best.t, active=active)
-            closer = rec.hit & (rec.t < best.t)
-            g_inst = best.inst
+            override = None
             if imap is not None:
                 local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
-                g_inst = jnp.where(closer, imap[local].astype(jnp.int32),
-                                   best.inst)
-            best = HitRecord(
-                t=jnp.where(closer, rec.t, best.t),
-                tri=jnp.where(closer, rec.tri, best.tri),
-                bary=jnp.where(closer[:, None], rec.bary, best.bary),
-                hit=best.hit | closer,
-                inst=g_inst,
-            )
+                override = imap[local].astype(jnp.int32)
+            best = fold_closest(best, rec, inst_override=override)
         return HitRecord(
             t=jnp.where(best.hit, best.t, INF),
             tri=best.tri, bary=best.bary, hit=best.hit, inst=best.inst,

@@ -290,7 +290,7 @@ def cmd_preview_interactive(args):
                       flush=True)
             else:
                 print(f"unknown command: {cmd}", flush=True)
-        except (ValueError, IndexError) as e:
+        except (ValueError, IndexError, KeyError, OSError) as e:
             print(f"error: {e}", flush=True)
     print("bye", flush=True)
 

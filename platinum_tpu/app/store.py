@@ -77,14 +77,21 @@ class Store:
         """Apply latched selection + queued action between frames
         (store.cpp:56-67). Returns the action that was applied (callers
         like the preview session handle CENTER_CAMERA themselves, exactly
-        as the reference's viewport does)."""
+        as the reference's viewport does).
+
+        The action slot always clears, even when the scene op raises (a
+        bad queued removal must not re-raise every frame); the selection
+        clears unconditionally on a removal, matching store.cpp:60-62."""
         self._selected = self._next_selected
         applied = (self._action, self._action_node)
-        if self._action == NodeAction.REMOVE and self._action_node is not None:
-            self.scene.remove_node(self._action_node, self._remove_mode)
-            self._selected = self._next_selected = None
-            self._remove_mode = RemoveMode.RECURSIVE
-        self.clear_node_action()
+        try:
+            if (self._action == NodeAction.REMOVE
+                    and self._action_node is not None):
+                self.scene.remove_node(self._action_node, self._remove_mode)
+                self._selected = self._next_selected = None
+                self._remove_mode = RemoveMode.RECURSIVE
+        finally:
+            self.clear_node_action()
         return applied
 
     # ------------------------------------------------------------------

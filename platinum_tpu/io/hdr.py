@@ -71,8 +71,9 @@ def read_hdr(path: str) -> np.ndarray:
             if len(row) < w * 4:
                 raise ValueError(f"{path}: truncated scanline {y}")
             rr = row.reshape(w, 4)
-            if (rr[:, 0] == 1).any() and (rr[:, 1] == 1).any() and \
-                    (rr[:, 2] == 1).any():
+            # old-style run marker: a pixel with r==g==b==1 (exponent byte
+            # is the repeat count) — must be all three IN THE SAME pixel
+            if ((rr[:, 0] == 1) & (rr[:, 1] == 1) & (rr[:, 2] == 1)).any():
                 raise ValueError(f"{path}: old-style RLE not supported")
             img[y] = rr
             di += w * 4
@@ -95,10 +96,24 @@ def read_hdr(path: str) -> np.ndarray:
 
 
 def write_hdr(path: str, rgb: np.ndarray):
-    """Write (H, W, 3) f32 linear as a flat (uncompressed) .hdr."""
+    """Write (H, W, 3) f32 linear as .hdr. Widths 8..32767 use new-style
+    per-channel scanlines (all-literal runs): a FLAT row whose first pixel
+    happens to encode as RGBE (2, 2, w>>8, w&255) would be misparsed as an
+    RLE header by any conforming reader (stb included), so like stb we
+    only emit flat rows outside the RLE-able width range."""
     rgb = np.asarray(rgb, np.float32)
     h, w = rgb.shape[:2]
+    rgbe = _float_to_rgbe(rgb)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
         f.write(f"-Y {h} +X {w}\n".encode())
-        f.write(_float_to_rgbe(rgb).tobytes())
+        if not (8 <= w <= 0x7FFF):
+            f.write(rgbe.tobytes())
+            return
+        for y in range(h):
+            f.write(bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF]))
+            for c in range(4):
+                col = rgbe[y, :, c].tobytes()
+                for x0 in range(0, w, 128):
+                    chunk = col[x0:x0 + 128]
+                    f.write(bytes([len(chunk)]) + chunk)

@@ -37,6 +37,27 @@ class HitRecord:
     inst: jnp.ndarray | None = None
 
 
+def fold_closest(best: HitRecord, rec: HitRecord,
+                 inst_override=None) -> HitRecord:
+    """Carried-best-t fold shared by every sequential partition tracer
+    (accel.partition, parallel.geometry): strict `<` keeps the EARLIER
+    record on exact ties — the tie-breaking the bit-exactness tests pin.
+    `inst_override` substitutes remapped (e.g. partition-local -> global)
+    instance ids for rec.inst."""
+    closer = rec.hit & (rec.t < best.t)
+    inst = best.inst
+    if best.inst is not None:
+        src = inst_override if inst_override is not None else rec.inst
+        inst = jnp.where(closer, src, best.inst)
+    return HitRecord(
+        t=jnp.where(closer, rec.t, best.t),
+        tri=jnp.where(closer, rec.tri, best.tri),
+        bary=jnp.where(closer[:, None], rec.bary, best.bary),
+        hit=best.hit | closer,
+        inst=inst,
+    )
+
+
 def _moller_trumbore(o, d, v0, e1, e2, tmin, tmax):
     """o, d: (R, 1, 3); v0/e1/e2: (1, C, 3). Returns t, u, v, valid (R, C)."""
     pvec = jnp.cross(d, e2)

@@ -106,18 +106,15 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
     device fold that reproduces the sequential tracer's tie-breaking
     bit-for-bit. Composable with other mesh axes (sample/tile) in the same
     shard_map body."""
+    from platinum_tpu.ops.intersect import fold_closest
     from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
     instanced = "inst_feat" in shard
-
-    def local_tracers():
-        pairs = []
-        for i in range(k):
-            pairs.append(make_packet_tracer(
-                shard["nodes"][i], shard["tris"][i], shard["meta"][i],
-                shard["slot"][i], interpret=interpret,
-                inst_feat=(shard["inst_feat"][i] if instanced else None)))
-        return pairs
+    pairs = [make_packet_tracer(
+        shard["nodes"][i], shard["tris"][i], shard["meta"][i],
+        shard["slot"][i], interpret=interpret,
+        inst_feat=(shard["inst_feat"][i] if instanced else None))
+        for i in range(k)]
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
         r = o.shape[0]
@@ -128,48 +125,45 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
             hit=jnp.zeros((r,), bool),
             inst=(jnp.zeros((r,), jnp.int32) if instanced else None),
         )
-        for i, (tc, _) in enumerate(local_tracers()):
+        for i, (tc, _) in enumerate(pairs):
             rec = tc(o, d, tmin, best.t, active=active)
-            closer = rec.hit & (rec.t < best.t)
-            g_inst = best.inst
+            override = None
             if instanced:
                 imap = shard["inst_map"][i]
                 local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
-                g_inst = jnp.where(closer, imap[local], best.inst)
-            best = HitRecord(
-                t=jnp.where(closer, rec.t, best.t),
-                tri=jnp.where(closer, rec.tri, best.tri),
-                bary=jnp.where(closer[:, None], rec.bary, best.bary),
-                hit=best.hit | closer, inst=g_inst,
-            )
+                override = imap[local]
+            best = fold_closest(best, rec, inst_override=override)
         # ICI merge: gather every device's best and fold in device order —
         # identical to the sequential partition fold (strict < keeps the
-        # earliest partition's hit on exact ties)
-        cols = [best.t, best.tri.astype(F), best.bary[:, 0], best.bary[:, 1],
-                best.hit.astype(F)]
+        # earliest partition's hit on exact ties). Float payload (t, u, v)
+        # and int payload (tri, hit, inst) gather separately: triangle /
+        # instance ids must NOT round-trip through float32 (ids >= 2^24
+        # would silently round)
+        fcols = jnp.stack([best.t, best.bary[:, 0], best.bary[:, 1]],
+                          axis=-1)
+        icols = [best.tri, best.hit.astype(jnp.int32)]
         if instanced:
-            cols.append(best.inst.astype(F))
-        packed = jnp.stack(cols, axis=-1)                 # (r, 5|6)
-        allp = jax.lax.all_gather(packed, axis)           # (n, r, 5|6)
-        mt = allp[0, :, 0]
-        mrest = allp[0, :, 1:]
+            icols.append(best.inst)
+        icols = jnp.stack(icols, axis=-1)
+        allf = jax.lax.all_gather(fcols, axis)            # (n, r, 3)
+        alli = jax.lax.all_gather(icols, axis)            # (n, r, 2|3)
+        mt, mf, mi = allf[0, :, 0], allf[0, :, 1:], alli[0]
         for dev in range(1, n):
-            hit_d = allp[dev, :, 4] > 0.5
-            closer = hit_d & (allp[dev, :, 0] < mt)
-            mt = jnp.where(closer, allp[dev, :, 0], mt)
-            mrest = jnp.where(closer[:, None], allp[dev, :, 1:], mrest)
-        hit = mrest[:, 3] > 0.5
+            closer = (alli[dev, :, 1] > 0) & (allf[dev, :, 0] < mt)
+            mt = jnp.where(closer, allf[dev, :, 0], mt)
+            mf = jnp.where(closer[:, None], allf[dev, :, 1:], mf)
+            mi = jnp.where(closer[:, None], alli[dev], mi)
+        hit = mi[:, 1] > 0
         return HitRecord(
-            t=jnp.where(hit, mt, INF), tri=mrest[:, 0].astype(jnp.int32),
-            bary=jnp.stack([mrest[:, 1], mrest[:, 2]], axis=-1), hit=hit,
-            inst=(mrest[:, 4].astype(jnp.int32) if instanced else None))
+            t=jnp.where(hit, mt, INF), tri=mi[:, 0], bary=mf, hit=hit,
+            inst=(mi[:, 2] if instanced else None))
 
     def trace_any(o, d, tmin, tmax, active=None):
         r = o.shape[0]
         occ = jnp.zeros((r,), bool)
-        for tc_ta in local_tracers():
+        for _, ta in pairs:
             live = (active & ~occ) if active is not None else ~occ
-            occ = occ | tc_ta[1](o, d, tmin, tmax, active=live)
+            occ = occ | ta(o, d, tmin, tmax, active=live)
         return jax.lax.psum(occ.astype(jnp.int32), axis) > 0
 
     return trace_closest, trace_any
@@ -243,9 +237,16 @@ def make_geom_sharded_step(flat, settings, mesh: Mesh,
     from platinum_tpu.render.integrator import render_sample
 
     assert flat.wbvh_parts is not None, "geometry sharding needs wbvh_parts"
+    missing = {"geom", "sample", "tile"} - set(mesh.shape)
+    if missing:
+        # step_impl unconditionally uses axis_index/pmean on all three
+        # axes — a size-1 axis is fine, an absent one fails inside jit
+        raise ValueError(f"mesh must name axes geom/sample/tile "
+                         f"(missing {sorted(missing)}); use size-1 axes "
+                         f"for dimensions you don't shard")
     n_geom = mesh.shape["geom"]
-    n_sample = mesh.shape.get("sample", 1)
-    n_tile = mesh.shape.get("tile", 1)
+    n_sample = mesh.shape["sample"]
+    n_tile = mesh.shape["tile"]
     if settings.num_pixels % n_tile:
         raise ValueError(f"num_pixels {settings.num_pixels} not divisible "
                          f"by tile axis {n_tile}")
