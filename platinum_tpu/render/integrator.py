@@ -345,6 +345,7 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         samp = bsdf_mod.sample(
             ctx, hd.wo, r4, rc, luts=flat.luts,
             multiscatter=bool(settings.flags & 1), features=features,
+            mixture_pdf=settings.mixture_pdf,
         )
 
         # --- Next-event estimation -------------------------------------------

@@ -225,6 +225,14 @@ class RenderSettings:
                                    # treat one call as B spp); the
                                    # 1-spp-per-step Renderer/sharded paths
                                    # ignore it
+    mixture_pdf: bool = True       # BSDF sampling reports the full mixture
+                                   # f/pdf at the sampled direction (exact
+                                   # MIS partition of unity; white furnace
+                                   # closes to LUT accuracy). False
+                                   # reproduces the reference's partial-
+                                   # lobe-pdf estimator, which loses ~1%
+                                   # on rough dielectrics under MIS (see
+                                   # models/bsdf.sample docstring)
     oct_order: bool = False        # near-first octant-ordered traversal for
                                    # closest waves (build-time SMEM orders).
                                    # Wins 3-5% on standalone waves, measured

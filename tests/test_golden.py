@@ -95,8 +95,33 @@ def test_analytic_furnace_exact():
     img = np.asarray(render(flat, settings,
                             features=analyze_features(flat)))
     assert np.isfinite(img).all() and (img >= 0).all()
-    # ~1% residual is the known multiscatter-LUT compensation error floor
-    assert abs(img.mean() - 0.5) < 6e-3, img.mean()
+    # LUT-accuracy floor only: with mixture-pdf MIS (settings.mixture_pdf,
+    # default) the estimator's partition of unity is exact and the furnace
+    # closes to the energy-compensation tables' resolution (measured
+    # 8.9e-4 at 64 spp)
+    assert abs(img.mean() - 0.5) < 2e-3, img.mean()
+
+
+def test_analytic_furnace_reference_estimator_bias():
+    """The reference's own estimator (partial sub-lobe pdfs from sample,
+    mixture pdfs from evaluate — bsdf.metal sampleOpaqueDielectric vs
+    evalOpaqueDielectric) violates the MIS partition of unity and loses
+    ~1% on rough dielectrics; settings.mixture_pdf=False reproduces it.
+    Pin the bias so the parity mode stays bit-honest."""
+    import dataclasses
+
+    from platinum_tpu.app.scenes import make_furnace_scene
+
+    (scene, cam) = make_furnace_scene(albedo=1.0, roughness=1.0,
+                                      env_value=0.5)
+    settings = RenderSettings(width=64, height=64, spp=32, max_bounces=12,
+                              kernel="mis", sampler="pcg4d",
+                              mixture_pdf=False)
+    flat = flatten_scene(scene, cam, settings)
+    img = np.asarray(render(flat, settings,
+                            features=analyze_features(flat)))
+    err = img.mean() - 0.5
+    assert -8e-3 < err < -2e-3, err   # the documented deficit, not noise
 
 
 def test_analytic_lambert_plane():

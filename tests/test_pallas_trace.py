@@ -65,7 +65,11 @@ def _mt_f64(o, d, v0, v1, v2):
 
 
 def _assert_borderline(i, o, d, v0, v1, v2, tmin, tmax, why,
-                       bary_eps=2e-4, t_rel=2e-4):
+                       bary_eps=5e-4, t_rel=5e-4):
+    # eps budget: generous enough for hardware MXU FMA-order deviations on
+    # sliver determinants (CPU-interpret runs agree exactly), tight enough
+    # that a wrong-subtree traversal bug (off by whole triangles) can never
+    # certify as a graze
     """Certify that ray `i`'s packet/brute disagreement is a legitimate
     float32-roundoff case: in float64 the ray grazes some triangle within
     eps of the valid-region boundary (barycentric edge, t-range end, or a
