@@ -28,6 +28,13 @@ def _load_scene(path: str):
         return builtin.make_cornell_scene()
     if path == "furnace":
         return builtin.make_furnace_scene()
+    if path == "colonnade":
+        return builtin.make_colonnade_scene()
+    if path == "colonnade-small":
+        return builtin.make_colonnade_scene(columns=4, rows=2,
+                                            sphere_res=(10, 14))
+    if path == "spheres":
+        return builtin.make_spheres_scene()
     if path.endswith((".gltf", ".glb")):
         from platinum_tpu.core.scene import Scene
         from platinum_tpu.io.gltf import load_gltf
@@ -97,6 +104,9 @@ def cmd_render(args):
         gmon_buckets=max(1, args.gmon), gmon_cap=args.gmon_cap,
         working_space=args.working_space, output_space=args.output_space,
         tracer=args.tracer, compact=getattr(args, "compact", False),
+        instancing=getattr(args, "instancing", "auto"),
+        **({"partition_tris": args.partition_tris}
+           if getattr(args, "partition_tris", None) else {}),
     )
     post = PostProcessOptions(
         exposure=ExposureOptions(exposure=args.exposure),
@@ -106,6 +116,9 @@ def cmd_render(args):
             flim=FLIM_PRESETS[args.flim_preset],
         ),
     )
+
+    if getattr(args, "mesh", None):
+        return _render_on_mesh(args, scene, cam_id, settings, post)
 
     renderer = Renderer(scene, post)
     renderer.start_render(cam_id, settings)
@@ -139,6 +152,70 @@ def cmd_render(args):
         renderer.export_exr(out)
     else:
         renderer.export_png(out)
+    print(out)
+
+
+def _render_on_mesh(args, scene, cam_id, settings, post):
+    """Multi-device render: `--mesh sample=2,tile=4[,geom=N]` builds a
+    named jax.sharding.Mesh over the visible devices and renders through
+    the shard_map paths (parallel.shard / parallel.geometry). With a
+    'geom' axis the scene's beyond-VMEM partitions distribute across the
+    mesh (each device keeps its slice VMEM-resident; hits merge over
+    ICI)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from platinum_tpu.render.flatten import analyze_features, flatten_scene
+    from platinum_tpu.io.exr import write_exr
+    from platinum_tpu.io.png import write_png
+    from platinum_tpu.post.pipeline import postprocess_jit
+
+    axes = {}
+    for part in args.mesh.split(","):
+        name, _, size = part.partition("=")
+        axes[name.strip()] = int(size)
+    n_need = int(np.prod(list(axes.values())))
+    devices = jax.devices()
+    if len(devices) < n_need:
+        raise SystemExit(f"--mesh needs {n_need} devices, "
+                         f"found {len(devices)}")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(devices[:n_need]).reshape(*axes.values()),
+                tuple(axes))
+    flat = flatten_scene(scene, cam_id, settings)
+    feats = analyze_features(flat)
+    t0 = time.perf_counter()
+    if "geom" in axes:
+        from platinum_tpu.parallel.geometry import make_geom_sharded_step
+
+        if flat.wbvh_parts is None:
+            raise SystemExit(
+                "--mesh geom=N needs a partitioned scene (the whole BVH "
+                "fits one device; lower --partition-tris or drop the geom "
+                "axis)")
+        step = make_geom_sharded_step(flat, settings, mesh, features=feats)
+        n_sample = axes.get("sample", 1)
+        accum = jnp.zeros((settings.num_pixels, 3))
+        for i in range(-(-settings.spp // n_sample)):
+            accum = step(accum, jnp.int32(i))
+        img = np.asarray(accum).reshape(settings.height, settings.width, 3)
+    else:
+        from platinum_tpu.parallel.shard import render_sharded
+
+        img = np.asarray(render_sharded(flat, settings, mesh,
+                                        features=feats))
+    dt = time.perf_counter() - t0
+    print(f"rendered {settings.spp} spp on mesh {dict(mesh.shape)} "
+          f"in {dt:.2f}s", file=sys.stderr)
+    out = args.output
+    if out.endswith(".exr"):
+        write_exr(out, img)
+    else:
+        write_png(out, np.asarray(postprocess_jit(
+            jnp.asarray(img), post, settings.working_space,
+            settings.output_space)))
     print(out)
 
 
@@ -334,6 +411,18 @@ def build_parser():
                    help="wavefront population-control compaction")
     r.add_argument("--watch", metavar="N", type=int, default=0,
                    help="progressive preview: rewrite the output every N spp")
+    r.add_argument("--mesh", metavar="AXES", default=None,
+                   help="multi-device render over a named mesh, e.g. "
+                        "'sample=2,tile=4' or 'sample=2,tile=2,geom=2' "
+                        "(geom shards beyond-VMEM partitions across chips)")
+    r.add_argument("--instancing", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="two-level TLAS/BLAS instancing (auto: on when "
+                        "meshes are reused)")
+    r.add_argument("--partition-tris", type=int, default=None,
+                   help="per-partition triangle budget (default 350k; "
+                        "lower it to force partitioning, e.g. for --mesh "
+                        "geom=N)")
     r.add_argument("--no-multiscatter", action="store_true")
     r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
     r.add_argument("--gmon-cap", type=float, default=1.0)

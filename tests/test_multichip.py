@@ -297,3 +297,24 @@ assert err < 1e-5, err
 """
     out = run_in_cpu_mesh(code, cpu_mesh_env, timeout=2400)
     assert "MAXERR" in out
+
+
+def test_cli_mesh_render(cpu_mesh_env):
+    """`render --mesh sample=2,tile=4` drives the sharded path end-to-end
+    from the CLI (and the geom variant engages partition sharding)."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out = f"{td}/m.png"
+        proc = subprocess.run(
+            [sys.executable, "-m", "platinum_tpu.app.cli", "render",
+             "cornell", "--spp", "2", "--size", "32x32",
+             "--mesh", "sample=2,tile=4", "-o", out],
+            env=cpu_mesh_env, cwd=REPO_DIR, capture_output=True, text=True,
+            timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "mesh {'sample': 2, 'tile': 4}" in proc.stderr
+        assert os.path.exists(out)
