@@ -345,6 +345,10 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
         wo = _rotate_xy(wo, cos_a, -sin_a)
         wi = _rotate_xy(wi, cos_a, -sin_a)
 
+    # reflection-hemisphere gate — exact parity with the reference's
+    # top-level eval (bsdf.metal:200-201 rejects wo.z/wi.z < 1.5e-3):
+    # NEE never evaluates transmitted directions there either; the
+    # transmission formulas live only on the post-sampling path
     valid = (wo[..., 2] >= MIN_COS) & (wi[..., 2] >= MIN_COS)
     alpha = ctx.alpha
     smooth = (ggx.is_smooth(alpha) if "smooth" in features
