@@ -160,3 +160,32 @@ def test_furnace_clearcoat(luts_available):
     # clearcoat is not energy-compensated (single-scatter GGX over base):
     # mild darkening expected, bounded
     assert 0.40 < img.mean() < 0.52, img.mean()
+
+
+def test_furnace_metal_blend_mixture_pdf(luts_available):
+    """metallic=0.5: metal, dielectric-specular and diffuse lobes all share
+    the reflection hemisphere, so the MIS partition of unity depends on
+    sample() reporting the full mixture pdf across TOP-LEVEL lobes too
+    (settings.mixture_pdf default). Measured: -5.8e-3 deficit with the
+    reference's partial-pdf estimator, -0.7e-3 with the mixture."""
+    import dataclasses
+
+    from platinum_tpu.render.types import RenderSettings
+    from platinum_tpu.render.flatten import flatten_scene
+    from platinum_tpu.app.scenes import make_furnace_scene
+    from platinum_tpu.render import integrator
+
+    from platinum_tpu.render.flatten import analyze_features
+
+    scene, cam = make_furnace_scene(albedo=1.0, roughness=0.7, metallic=0.5,
+                                    env_value=0.5)
+    settings = RenderSettings(width=32, height=32, spp=48, max_bounces=16,
+                              kernel="mis", sampler="pcg4d")
+    flat = flatten_scene(scene, cam, settings)
+    # production feature set (Renderer uses analyze_features): untextured
+    # roughness takes the exact per-material energy-row path; the
+    # tex_rough 3-D trilinear LUT path costs a further ~3e-3 (the
+    # reference always pays it — it has no row fast path)
+    img = np.asarray(integrator.render(flat, settings,
+                                       features=analyze_features(flat)))
+    assert abs(img.mean() - 0.5) < 2.5e-3, img.mean()
