@@ -1,0 +1,74 @@
+"""White-furnace sweep across the material space — the fidelity audit tool.
+
+Renders an albedo-1 sphere in a constant 0.5 environment for a grid of
+material configurations and prints the signed energy error of each (0 =
+perfectly energy-preserving estimator + BSDF). This is the tool that
+localized the round-3 fidelity fixes:
+
+  * the MIS partition-of-unity violation in partial-lobe-pdf sampling
+    (settings.mixture_pdf; reference-inherited, -5e-3 on rough
+    dielectrics),
+  * the interior-bounce energy loss from signed cosines hitting the
+    clamp-to-edge energy LUTs (models/bsdf._orient_cosines; -6.2% on a
+    transmission-blend furnace),
+  * the ~3e-3 trilinear cost of the tex_rough 3-D LUT path vs the
+    per-material energy rows.
+
+Remaining known deficits (documented, reference-inherited): rough
+transmission (Turquin compensation is approximate + NEE never evaluates
+transmitted directions, bsdf.metal:200), thin glass (reference TODO), and
+clearcoat (single-scatter only in both implementations).
+
+Usage: python tools/furnace_sweep.py [quick|full]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+CASES = [
+    dict(albedo=1.0, roughness=0.05, metallic=0.0),
+    dict(albedo=1.0, roughness=0.3, metallic=0.0),
+    dict(albedo=1.0, roughness=0.7, metallic=0.0),
+    dict(albedo=1.0, roughness=1.0, metallic=0.0),
+    dict(albedo=1.0, roughness=0.3, metallic=1.0),
+    dict(albedo=1.0, roughness=0.7, metallic=1.0),
+    dict(albedo=1.0, roughness=0.5, metallic=0.25),
+    dict(albedo=1.0, roughness=0.5, metallic=0.5),
+    dict(albedo=1.0, roughness=0.5, metallic=0.75),
+    dict(albedo=1.0, roughness=0.5, metallic=0.0, ior=1.8),
+    dict(albedo=1.0, roughness=0.9, metallic=0.0, ior=1.1),
+    dict(albedo=1.0, roughness=0.4, transmission=1.0, ior=1.5),
+    dict(albedo=1.0, roughness=0.8, transmission=1.0, ior=1.5),
+    dict(albedo=1.0, roughness=0.4, transmission=0.5, ior=1.5),
+    dict(albedo=1.0, roughness=0.4, transmission=1.0, ior=1.5, thin=True),
+    dict(albedo=1.0, roughness=0.4, clearcoat=1.0),
+]
+
+
+def run(spp=48, size=24, bounces=24):
+    from platinum_tpu.app.scenes import make_furnace_scene
+    from platinum_tpu.render.flatten import analyze_features, flatten_scene
+    from platinum_tpu.render.integrator import render
+    from platinum_tpu.render.types import RenderSettings
+
+    worst = 0.0
+    for c in CASES:
+        scene, cam = make_furnace_scene(env_value=0.5, **c)
+        s = RenderSettings(width=size, height=size, spp=spp,
+                           max_bounces=bounces, kernel="mis",
+                           sampler="pcg4d")
+        flat = flatten_scene(scene, cam, s)
+        img = np.asarray(render(flat, s, features=analyze_features(flat)))
+        err = float(img.mean() - 0.5)
+        worst = max(worst, abs(err))
+        print(f"{err:+.5f}  {c}", flush=True)
+    print(f"worst |err|: {worst:.5f}")
+
+
+if __name__ == "__main__":
+    full = "full" in sys.argv
+    run(spp=192 if full else 48, size=32 if full else 24)
