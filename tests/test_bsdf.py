@@ -157,9 +157,11 @@ def test_furnace_glass(luts_available):
 def test_furnace_clearcoat(luts_available):
     img = _furnace(albedo=1.0, roughness=0.4, clearcoat=1.0)
     assert not np.isnan(img).any()
-    # clearcoat is not energy-compensated (single-scatter GGX over base):
-    # mild darkening expected, bounded
-    assert 0.40 < img.mean() < 0.52, img.mean()
+    # clearcoat is single-scatter in both implementations, but the
+    # mixture-pdf MIS (round 3) removed most of the loss the coat's
+    # top-level lobe overlap used to cause: measured +0.6% (smooth coat)
+    # to -0.7% (coat roughness 0.6)
+    assert abs(img.mean() - 0.5) < 0.012, img.mean()
 
 
 def test_furnace_metal_blend_mixture_pdf(luts_available):
