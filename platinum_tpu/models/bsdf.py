@@ -243,18 +243,36 @@ def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg,
     return fresnel_ms * brdf_ms
 
 
-def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None):
-    """Turquin 1/E_wo energy compensation for the transparent lobe."""
+def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
+                              thin=None):
+    """Turquin 1/E_wo energy compensation for the transparent lobe.
+
+    `thin` (bool mask): thin-walled glass reflects and transmits through
+    the SAME microfacet lobe (the transmit side is just the reflect lobe
+    flipped), so its single-scatter directional albedo is the Fresnel-free
+    GGX albedo E(wo) — compensate with 1/E, not with the refraction
+    E_trans tables (which bake thick-interface Snell geometry). The
+    reference uses the refraction tables for thin too and ships a "thin
+    glass is not energy preserving" TODO (bsdf.metal:427). Measured on a
+    roughness-0.4 thin furnace: -5.3% before, -3.1% with 1/E — the rest
+    is the flip-lobe model itself (shared masking between the reflect and
+    flipped-transmit halves) plus the no-transmitted-NEE MIS deficit, both
+    reference-inherited."""
     into = ior >= 1.0
     if ctx is not None and features is not None and _use_rows(ctx, features):
         row = _energy_row(ctx, jnp.abs(wo_z))
         e_wo = jnp.where(into, row[..., 2], row[..., 3])
+        if thin is not None:
+            e_wo = jnp.where(thin, row[..., 0], e_wo)
     else:
         param_in = _ior_param(ior)
         param_out = 1.0 - ior
         e_in = luts_mod.sample3d(luts.E_trans_in, jnp.abs(wo_z), rough, param_in)
         e_out = luts_mod.sample3d(luts.E_trans_out, jnp.abs(wo_z), rough, param_out)
         e_wo = jnp.where(into, e_in, e_out)
+        if thin is not None:
+            e_wo = jnp.where(thin, luts_mod.sample2d(luts.E, jnp.abs(wo_z), rough),
+                             e_wo)
     return 1.0 / jnp.maximum(e_wo, 1e-3)
 
 
@@ -411,8 +429,10 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
         f_ss_t = fresnel.fresnel_dielectric(jnp.sum(wo * wm, axis=-1), ctx.ior)
         f_trans = jnp.broadcast_to((f_ss_t * ss)[..., None], shape + (3,))
         if multiscatter:
-            comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2],
-                                         ctx.ior, ctx=ctx, features=features)
+            comp = _transparent_multiscatter(
+                luts, ctx.roughness, wo[..., 2], ctx.ior, ctx=ctx,
+                features=features,
+                thin=(ctx.thin if "thin" in features else None))
             f_trans = f_trans * comp[..., None]
         use_trans = (transparent > 0.0) & ~smooth & wm_ok
         f = f + jnp.where(use_trans[..., None], f_trans * transparent[..., None], 0.0)
@@ -606,8 +626,10 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
         )
         color_tr = jnp.where(reflecting[..., None], jnp.ones_like(ctx.albedo), ctx.albedo)
         if multiscatter:
-            comp = _transparent_multiscatter(luts, ctx.roughness, wo[..., 2],
-                                             ior_t, ctx=ctx, features=features)
+            comp = _transparent_multiscatter(
+                luts, ctx.roughness, wo[..., 2], ior_t, ctx=ctx,
+                features=features,
+                thin=(thin if "thin" in features else None))
             f_tr_rough = f_tr_rough * comp
         pdf_tr_rough = k * jnp.where(reflecting | thin, pdf_r, pdf_t)
 

@@ -203,3 +203,15 @@ def test_furnace_transmission_blend(luts_available):
                    spp=48, bounces=24)
     assert not np.isnan(img).any()
     assert abs(img.mean() - 0.5) < 0.015, img.mean()
+
+
+def test_furnace_thin_glass(luts_available):
+    """Thin-walled glass compensates with the Fresnel-free GGX albedo
+    1/E(wo) (the reflect and flipped-transmit halves share ONE microfacet
+    lobe), not the thick-interface refraction tables: -5.3% -> -3.1% on
+    this furnace. The residual is the flip-lobe model + no transmitted
+    NEE, both reference-inherited (bsdf.metal:427 TODO)."""
+    img = _furnace(albedo=1.0, transmission=1.0, roughness=0.4, ior=1.5,
+                   thin=True, spp=48, bounces=24)
+    assert not np.isnan(img).any()
+    assert abs(img.mean() - 0.5) < 0.04, img.mean()

@@ -16,7 +16,8 @@ localized the round-3 fidelity fixes:
 
 Remaining known deficits (documented, reference-inherited): rough
 transmission (Turquin compensation is approximate + NEE never evaluates
-transmitted directions, bsdf.metal:200), thin glass (reference TODO), and
+transmitted directions, bsdf.metal:200), thin glass (1/E compensation
+recovers 2.2% of its 5.3%; the flip-lobe residual stands), and
 clearcoat (single-scatter only in both implementations).
 
 Usage: python tools/furnace_sweep.py [quick|full]
