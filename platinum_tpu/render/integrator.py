@@ -474,8 +474,17 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             atten=jnp.where(active_new[:, None], atten_new, atten),
             active=active_new,
             prev_pdf=jnp.where(hit, samp.pdf, ls["prev_pdf"]),
+            # TRANSMITTED segments also take MIS weight 1: NEE never
+            # produces transmitted contributions (evaluate() is zero below
+            # the horizon, matching bsdf.metal:200-201), so the light
+            # strategy has zero yield on these directions and the BSDF
+            # strategy must keep the full weight — the standard
+            # p_b/(p_b+p_l) underweights them by exactly the light
+            # strategy's missing share (part of the rough-glass furnace
+            # deficit; the reference underweights the same way)
             prev_spec=jnp.where(
-                hit, (samp.flags & bsdf_mod.SAMPLE_SPECULAR) != 0,
+                hit, (samp.flags & (bsdf_mod.SAMPLE_SPECULAR
+                                    | bsdf_mod.SAMPLE_TRANSMITTED)) != 0,
                 ls["prev_spec"]
             ),
             stream=stream,

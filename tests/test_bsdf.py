@@ -150,8 +150,9 @@ def test_furnace_glass(luts_available):
     img = _furnace(albedo=1.0, transmission=1.0, roughness=0.2, ior=1.5,
                    spp=32, bounces=48)
     assert not np.isnan(img).any()
-    # Turquin compensation is approximate; allow a few percent
-    assert abs(img.mean() - 0.5) < 0.03, img.mean()
+    # transmitted BSDF segments take MIS weight 1 (NEE has zero yield on
+    # them) — with that fix the glass furnace closes to ~1e-3
+    assert abs(img.mean() - 0.5) < 0.01, img.mean()
 
 
 def test_furnace_clearcoat(luts_available):
@@ -208,10 +209,11 @@ def test_furnace_transmission_blend(luts_available):
 def test_furnace_thin_glass(luts_available):
     """Thin-walled glass compensates with the Fresnel-free GGX albedo
     1/E(wo) (the reflect and flipped-transmit halves share ONE microfacet
-    lobe), not the thick-interface refraction tables: -5.3% -> -3.1% on
-    this furnace. The residual is the flip-lobe model + no transmitted
-    NEE, both reference-inherited (bsdf.metal:427 TODO)."""
+    lobe), not the thick-interface refraction tables. With the
+    transmitted-MIS weight fix the thin furnace lands at +1.1% (was -5.3%
+    with both defects; the residual overshoot is the 1/E approximation on
+    the flip-lobe model)."""
     img = _furnace(albedo=1.0, transmission=1.0, roughness=0.4, ior=1.5,
                    thin=True, spp=48, bounces=24)
     assert not np.isnan(img).any()
-    assert abs(img.mean() - 0.5) < 0.04, img.mean()
+    assert abs(img.mean() - 0.5) < 0.02, img.mean()

@@ -12,13 +12,16 @@ localized the round-3 fidelity fixes:
     clamp-to-edge energy LUTs (models/bsdf._orient_cosines; -6.2% on a
     transmission-blend furnace),
   * the ~3e-3 trilinear cost of the tex_rough 3-D LUT path vs the
-    per-material energy rows.
+    per-material energy rows,
+  * transmitted BSDF segments taking the standard p_b/(p_b+p_l) MIS
+    weight even though NEE has ZERO yield on transmitted directions
+    (evaluate() is reflection-side only, matching bsdf.metal:200) — they
+    must take weight 1; this was most of the "Turquin is approximate"
+    deficit: thick glass furnace -1.0%/-1.8% (r 0.4/0.8) -> +0.1%.
 
-Remaining known deficits (documented, reference-inherited): rough
-transmission (Turquin compensation is approximate + NEE never evaluates
-transmitted directions, bsdf.metal:200), thin glass (1/E compensation
-recovers 2.2% of its 5.3%; the flip-lobe residual stands), and
-clearcoat (single-scatter only in both implementations).
+Remaining known deficits (documented): thin glass +1.1% (the 1/E
+compensation slightly overshoots the flip-lobe model) and clearcoat
+(single-scatter only in both implementations, within ~1%).
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
