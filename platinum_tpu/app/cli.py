@@ -171,10 +171,24 @@ def _render_on_mesh(args, scene, cam_id, settings, post):
     from platinum_tpu.io.png import write_png
     from platinum_tpu.post.pipeline import postprocess_jit
 
+    from platinum_tpu.render.types import FLAG_GMON
+
     axes = {}
     for part in args.mesh.split(","):
         name, _, size = part.partition("=")
-        axes[name.strip()] = int(size)
+        name = name.strip()
+        if not name or not size.strip().isdigit() or int(size) < 1:
+            raise SystemExit(f"--mesh: bad axis spec {part!r} "
+                             f"(expected name=N, e.g. sample=2,tile=4)")
+        if name in axes:
+            raise SystemExit(f"--mesh: duplicate axis {name!r}")
+        axes[name] = int(size)
+    geom = "geom" in axes
+    if geom:
+        # the 3-axis step names all of geom/sample/tile; absent ray axes
+        # become size-1 (no sharding on that dimension)
+        axes.setdefault("sample", 1)
+        axes.setdefault("tile", 1)
     n_need = int(np.prod(list(axes.values())))
     devices = jax.devices()
     if len(devices) < n_need:
@@ -186,21 +200,27 @@ def _render_on_mesh(args, scene, cam_id, settings, post):
                 tuple(axes))
     flat = flatten_scene(scene, cam_id, settings)
     feats = analyze_features(flat)
+    gmon = bool(settings.flags & FLAG_GMON)
     t0 = time.perf_counter()
-    if "geom" in axes:
-        from platinum_tpu.parallel.geometry import make_geom_sharded_step
+    if geom:
+        from platinum_tpu.parallel.geometry import render_geom_sharded
 
         if flat.wbvh_parts is None:
             raise SystemExit(
                 "--mesh geom=N needs a partitioned scene (the whole BVH "
                 "fits one device; lower --partition-tris or drop the geom "
                 "axis)")
-        step = make_geom_sharded_step(flat, settings, mesh, features=feats)
-        n_sample = axes.get("sample", 1)
-        accum = jnp.zeros((settings.num_pixels, 3))
-        for i in range(-(-settings.spp // n_sample)):
-            accum = step(accum, jnp.int32(i))
-        img = np.asarray(accum).reshape(settings.height, settings.width, 3)
+        if gmon:
+            raise SystemExit("--gmon is not supported with a geom mesh "
+                             "axis yet; drop one of the two")
+        img = np.asarray(render_geom_sharded(flat, settings, mesh,
+                                             features=feats))
+    elif gmon:
+        from platinum_tpu.parallel.shard import render_sharded_gmon
+
+        img = np.asarray(render_sharded_gmon(flat, settings, mesh,
+                                             cap=settings.gmon_cap,
+                                             features=feats))
     else:
         from platinum_tpu.parallel.shard import render_sharded
 
@@ -215,7 +235,7 @@ def _render_on_mesh(args, scene, cam_id, settings, post):
     else:
         write_png(out, np.asarray(postprocess_jit(
             jnp.asarray(img), post, settings.working_space,
-            settings.output_space)))
+            settings.output_space)), output_space=settings.output_space)
     print(out)
 
 

@@ -281,3 +281,20 @@ def make_geom_sharded_step(flat, settings, mesh: Mesh,
     step = jax.jit(lambda accum, i: sharded(flat_rep, stacked, accum, i),
                    donate_argnums=(0,))
     return step
+
+
+def render_geom_sharded(flat, settings, mesh: Mesh,
+                        features: frozenset | None = None,
+                        steps: int | None = None,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Render settings.spp samples with geometry + ray sharding; returns
+    (H, W, 3). The progressive-loop twin of parallel.shard.render_sharded
+    for partitioned scenes."""
+    n_sample = mesh.shape.get("sample", 1)
+    steps = steps if steps is not None else -(-settings.spp // n_sample)
+    step = make_geom_sharded_step(flat, settings, mesh, features=features,
+                                  interpret=interpret)
+    accum = jnp.zeros((settings.num_pixels, 3))
+    for i in range(steps):
+        accum = step(accum, jnp.int32(i))
+    return accum.reshape(settings.height, settings.width, 3)

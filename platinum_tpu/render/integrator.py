@@ -474,17 +474,26 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
             atten=jnp.where(active_new[:, None], atten_new, atten),
             active=active_new,
             prev_pdf=jnp.where(hit, samp.pdf, ls["prev_pdf"]),
-            # TRANSMITTED segments also take MIS weight 1: NEE never
-            # produces transmitted contributions (evaluate() is zero below
-            # the horizon, matching bsdf.metal:200-201), so the light
-            # strategy has zero yield on these directions and the BSDF
-            # strategy must keep the full weight — the standard
-            # p_b/(p_b+p_l) underweights them by exactly the light
-            # strategy's missing share (part of the rough-glass furnace
-            # deficit; the reference underweights the same way)
+            # Weight-1 MIS for every segment the LIGHT strategy has zero
+            # yield on — otherwise the standard p_b/(p_b+p_l) silently
+            # discards the light strategy's share (the reference
+            # underweights the same way). That is: TRANSMITTED segments
+            # (evaluate() is zero below the horizon, bsdf.metal:200-201)
+            # and segments sampled at a genuinely INTERIOR vertex of a
+            # TRANSMISSIVE material (shading wo.z <= -MIN_COS, where
+            # evaluate() — and so NEE — is identically zero; e.g. an
+            # emissive filament inside a rough-glass bulb). The
+            # transmission>0 scope matters: on opaque geometry the only
+            # wo.z<0 lanes are shading-normal silhouette flips and
+            # epsilon self-intersections whose grazing pdfs make f/pdf
+            # ill-conditioned — weight-1 un-damps those fireflies
+            # (measured: +6e-3 furnace shift), so they keep the
+            # reference's standard weight.
             prev_spec=jnp.where(
-                hit, (samp.flags & (bsdf_mod.SAMPLE_SPECULAR
-                                    | bsdf_mod.SAMPLE_TRANSMITTED)) != 0,
+                hit, ((samp.flags & (bsdf_mod.SAMPLE_SPECULAR
+                                     | bsdf_mod.SAMPLE_TRANSMITTED)) != 0)
+                | ((hd.wo[..., 2] <= -bsdf_mod.MIN_COS)
+                   & (ctx.transmission > 0.0)),
                 ls["prev_spec"]
             ),
             stream=stream,

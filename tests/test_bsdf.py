@@ -171,8 +171,6 @@ def test_furnace_metal_blend_mixture_pdf(luts_available):
     sample() reporting the full mixture pdf across TOP-LEVEL lobes too
     (settings.mixture_pdf default). Measured: -5.8e-3 deficit with the
     reference's partial-pdf estimator, -0.7e-3 with the mixture."""
-    import dataclasses
-
     from platinum_tpu.render.types import RenderSettings
     from platinum_tpu.render.flatten import flatten_scene
     from platinum_tpu.app.scenes import make_furnace_scene
