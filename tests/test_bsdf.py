@@ -207,11 +207,13 @@ def test_furnace_transmission_blend(luts_available):
 def test_furnace_thin_glass(luts_available):
     """Thin-walled glass compensates with the Fresnel-free GGX albedo
     1/E(wo) (the reflect and flipped-transmit halves share ONE microfacet
-    lobe), not the thick-interface refraction tables. With the
-    transmitted-MIS weight fix the thin furnace lands at +1.1% (was -5.3%
-    with both defects; the residual overshoot is the 1/E approximation on
-    the flip-lobe model)."""
+    lobe), not the thick-interface refraction tables. With invalid flips
+    rejected in the transmit branch (bsdf.py sample(), see comment there)
+    the lobe's Fresnel-free albedo is exactly the E LUT and the furnace is
+    energy-exact: measured -1.5e-4 (r 0.4), -1.1e-4 (r 0.2), -4.3e-4
+    (r 0.8) at 96 spp. Was +1.1% before the rejection, -5.3% before the
+    1/E compensation + transmitted-MIS weight fixes."""
     img = _furnace(albedo=1.0, transmission=1.0, roughness=0.4, ior=1.5,
                    thin=True, spp=48, bounces=24)
     assert not np.isnan(img).any()
-    assert abs(img.mean() - 0.5) < 0.02, img.mean()
+    assert abs(img.mean() - 0.5) < 0.004, img.mean()

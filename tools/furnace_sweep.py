@@ -19,9 +19,14 @@ localized the round-3 fidelity fixes:
     must take weight 1; this was most of the "Turquin is approximate"
     deficit: thick glass furnace -1.0%/-1.8% (r 0.4/0.8) -> +0.1%.
 
-Remaining known deficits (documented): thin glass +1.1% (the 1/E
-compensation slightly overshoots the flip-lobe model) and clearcoat
-(single-scatter only in both implementations, within ~1%).
+  * thin glass +1.1% overshoot: the reference's thin-transmit branch
+    accepts flipped below-horizon reflections (no validity check,
+    bsdf.metal:600-602) that the 1/E compensation's E LUT assumes lost —
+    rejecting them (models/bsdf.py sample()) makes 1/E exact; the thin
+    furnace closes to within 5e-4 across roughness.
+
+Remaining known deficit (documented): clearcoat (single-scatter only in
+both implementations, within ~1%).
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
