@@ -275,6 +275,16 @@ def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
     return 1.0 / jnp.maximum(e_wo, 1e-3)
 
 
+def _coat_multiscatter(luts, coat_rough, wo_z):
+    """1/E energy compensation for the clearcoat GGX lobe. The coat's
+    Fresnel weights appear in both f and pdf (and the selection
+    probability), so — like thin glass — the Fresnel-free directional
+    albedo E(wo) is the exact normalizer. The reference ships the coat
+    uncompensated (single-scatter only)."""
+    return 1.0 / jnp.maximum(
+        luts_mod.sample2d(luts.E, jnp.abs(wo_z), coat_rough), 1e-3)
+
+
 def _diffuse_factor(luts, ctx, wo_z, wi_z, features=None):
     """Energy-conserving diffuse attenuation under a Fresnel-weighted GGX
     (Enterprise PBR; bsdf.metal:291-305). Double-sided (see
@@ -470,11 +480,36 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
             jnp.sum(wo * wm, axis=-1), CLEARCOAT_IOR
         )
         coat_pdf = ggx.pdf(coat_alpha, wo, wm)
-        coat = ctx.clearcoat * jnp.where(coat_smooth | ~wm_ok, 0.0, coat_f_ss)
-        f = f * (1.0 - coat[..., None]) + jnp.where(
-            (coat > 0)[..., None], coat_ss[..., None] * coat[..., None], 0.0
+        # A SMOOTH coat is a delta lobe: it contributes nothing at any
+        # fixed direction, but it still dims the base by exactly the
+        # sampling-side selection probability c*F(|wo.z|) (sample()'s
+        # p_coat with wm_coat = z). The reference drops the dimming
+        # entirely here (bsdf.metal:487-488 returns {} WITHOUT setting
+        # fresnel_ss, so `coat *= coatFresnel_ss` at :220 reads an
+        # uninitialized float) — NEE then sees an undimmed base while
+        # BSDF sampling pays the coat pick, a +0.7% furnace overshoot
+        # (MIS-only: the simple kernel measures exact). With the dimming
+        # matched, D cancels in f/pdf and both MIS strategies use the
+        # true marginal density: furnace closes to ~1e-4.
+        coat_f_smooth = fresnel.fresnel_dielectric(
+            jnp.abs(wo[..., 2]), CLEARCOAT_IOR
         )
-        pdf = pdf * (1.0 - coat) + jnp.where(coat > 0, coat_pdf * coat, 0.0)
+        coat_dim = ctx.clearcoat * jnp.where(
+            coat_smooth, coat_f_smooth, jnp.where(wm_ok, coat_f_ss, 0.0)
+        )
+        coat_add = jnp.where(coat_smooth, 0.0, coat_dim)
+        if multiscatter:
+            # Turquin 1/E compensation on the coat lobe (the reference
+            # leaves the coat single-scatter: at coat roughness 0.6 the
+            # uncompensated lobe loses ~0.7% on a coat=1 furnace)
+            coat_ss = coat_ss * _coat_multiscatter(
+                luts, ctx.clearcoat_roughness, wo[..., 2])
+        f = f * (1.0 - coat_dim[..., None]) + jnp.where(
+            (coat_add > 0)[..., None], coat_ss[..., None] * coat_add[..., None],
+            0.0
+        )
+        pdf = pdf * (1.0 - coat_dim) + jnp.where(
+            coat_add > 0, coat_pdf * coat_add, 0.0)
 
     f = jnp.where(valid[..., None], f, 0.0)
     pdf = jnp.where(valid, pdf, 0.0)
@@ -736,6 +771,9 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
         wi_coat_r = ggx.reflect(-wo, wm_coat)
         bad_coat = wo[..., 2] * wi_coat_r[..., 2] < 0.0
         f_coat_rough = f_coat_ss * ggx.single_scatter_brdf(coat_alpha, wo, wi_coat_r, wm_coat)
+        if multiscatter:
+            f_coat_rough = f_coat_rough * _coat_multiscatter(
+                luts, ctx.clearcoat_roughness, wo[..., 2])
         pdf_coat_rough = f_coat_ss * ggx.pdf(coat_alpha, wo, wm_coat)
         f_coat_s = fresnel.fresnel_dielectric(wo[..., 2], CLEARCOAT_IOR)
 

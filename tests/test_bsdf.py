@@ -158,11 +158,13 @@ def test_furnace_glass(luts_available):
 def test_furnace_clearcoat(luts_available):
     img = _furnace(albedo=1.0, roughness=0.4, clearcoat=1.0)
     assert not np.isnan(img).any()
-    # clearcoat is single-scatter in both implementations, but the
-    # mixture-pdf MIS (round 3) removed most of the loss the coat's
-    # top-level lobe overlap used to cause: measured +0.6% (smooth coat)
-    # to -0.7% (coat roughness 0.6)
-    assert abs(img.mean() - 0.5) < 0.012, img.mean()
+    # Smooth coat (the default): evaluate() dims the base by the exact
+    # coat selection probability (the reference reads an UNINITIALIZED
+    # fresnel there, bsdf.metal:487-488/:220) — measured -3e-4. Rough
+    # coats carry a 1/E-compensated lobe (exact albedo) and a documented
+    # ±0.8% layering residual (F at sampled vs deterministic wm);
+    # see tools/furnace_sweep.py.
+    assert abs(img.mean() - 0.5) < 0.004, img.mean()
 
 
 def test_furnace_metal_blend_mixture_pdf(luts_available):

@@ -25,8 +25,24 @@ localized the round-3 fidelity fixes:
     rejecting them (models/bsdf.py sample()) makes 1/E exact; the thin
     furnace closes to within 5e-4 across roughness.
 
-Remaining known deficit (documented): clearcoat (single-scatter only in
-both implementations, within ~1%).
+  * clearcoat: (a) the reference's eval drops the SMOOTH coat's base
+    dimming entirely (bsdf.metal:487-488 returns {} without setting
+    fresnel_ss; :220 then reads an uninitialized float) — NEE sees an
+    undimmed base while sampling pays the coat pick: +0.7% MIS-only
+    overshoot, fixed by dimming with the exact selection probability
+    c*F(|wo.z|); (b) rough coats ship single-scatter in the reference —
+    a 1/E compensation makes the coat lobe's albedo exact (-0.7% →
+    -0.36% at coat roughness 0.6).
+
+Remaining known deficit (documented): the rough-coat layering model
+evaluates the coat Fresnel at the deterministic half-vector wm(wo,wi)
+while sampling selects with F at a VMDF-sampled wm — the reported
+mixture density differs from the true sampling marginal by the
+correlation term, measured ±0.8% worst-case on coat=1 furnaces
+(+0.3% at coat roughness 0.12, -0.8% at 0.9); real scenes scale this
+by c*F_avg ≈ 0.04c. An exact fix needs a mean-coat-Fresnel LUT
+F_avg(wo.z, coat roughness) in eval; the reference shares the same
+structure.
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
@@ -55,6 +71,8 @@ CASES = [
     dict(albedo=1.0, roughness=0.4, transmission=0.5, ior=1.5),
     dict(albedo=1.0, roughness=0.4, transmission=1.0, ior=1.5, thin=True),
     dict(albedo=1.0, roughness=0.4, clearcoat=1.0),
+    dict(albedo=1.0, roughness=0.4, clearcoat=1.0, clearcoat_roughness=0.3),
+    dict(albedo=1.0, roughness=0.4, clearcoat=1.0, clearcoat_roughness=0.6),
 ]
 
 
