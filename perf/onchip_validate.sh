@@ -16,6 +16,10 @@ timeout 3600 python -m pytest tests/test_pallas_trace.py::test_packet_kernel_var
 echo "== 3. partitioned-instanced suite on chip =="
 timeout 3600 python -m pytest tests/test_tlas.py -q || exit 1
 
+echo "== 3b. goldens + furnaces on chip (CPU-blessed; if RMSE is marginal =="
+echo "==     on hardware, re-bless with perf/bless_goldens.py ON-CHIP)    =="
+timeout 3600 python -m pytest tests/test_golden.py tests/test_bsdf.py -q || exit 1
+
 if [ "$MODE" = "full" ]; then
   echo "== 4. full suite =="
   timeout 7200 python -m pytest tests/ -q || exit 1

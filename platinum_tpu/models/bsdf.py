@@ -276,13 +276,20 @@ def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
 
 
 def _coat_multiscatter(luts, coat_rough, wo_z):
-    """1/E energy compensation for the clearcoat GGX lobe. The coat's
-    Fresnel weights appear in both f and pdf (and the selection
-    probability), so — like thin glass — the Fresnel-free directional
-    albedo E(wo) is the exact normalizer. The reference ships the coat
-    uncompensated (single-scatter only)."""
-    return 1.0 / jnp.maximum(
-        luts_mod.sample2d(luts.E, jnp.abs(wo_z), coat_rough), 1e-3)
+    """Energy compensation for the clearcoat GGX lobe: F̄(wo)/E_F(wo).
+
+    The coat sample's yield is E[F(wm)·(G2/G1)] = E_F(wo) per unit
+    clearcoat; F and the VNDF weight G2/G1 are negatively correlated
+    (grazing wm: high Fresnel, strong masking), so the Fresnel-free 1/E
+    under-compensates at high roughness. Scaling f by F̄/E_F makes the
+    sampled coat yield c·F̄(wo) IDENTICALLY — exactly cancelling the
+    (1 − c·F̄) base dimming evaluate() applies, so the layered furnace
+    is energy-exact. The reference ships the coat uncompensated
+    (single-scatter only). Tables baked at load: ops/luts.py."""
+    cos = jnp.abs(wo_z)
+    f_avg = luts_mod.sample2d(luts.F_coat_avg, cos, coat_rough)
+    e_f = luts_mod.sample2d(luts.E_F_coat, cos, coat_rough)
+    return f_avg / jnp.maximum(e_f, 1e-4)
 
 
 def _diffuse_factor(luts, ctx, wo_z, wi_z, features=None):
@@ -480,24 +487,30 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
             jnp.sum(wo * wm, axis=-1), CLEARCOAT_IOR
         )
         coat_pdf = ggx.pdf(coat_alpha, wo, wm)
-        # A SMOOTH coat is a delta lobe: it contributes nothing at any
-        # fixed direction, but it still dims the base by exactly the
-        # sampling-side selection probability c*F(|wo.z|) (sample()'s
-        # p_coat with wm_coat = z). The reference drops the dimming
-        # entirely here (bsdf.metal:487-488 returns {} WITHOUT setting
-        # fresnel_ss, so `coat *= coatFresnel_ss` at :220 reads an
-        # uninitialized float) — NEE then sees an undimmed base while
-        # BSDF sampling pays the coat pick, a +0.7% furnace overshoot
-        # (MIS-only: the simple kernel measures exact). With the dimming
-        # matched, D cancels in f/pdf and both MIS strategies use the
-        # true marginal density: furnace closes to ~1e-4.
+        # The base-DIMMING weight is the marginal probability sample()
+        # picks the coat: c·F̄(wo) with F̄ the mean Fresnel over the coat
+        # VNDF (luts.F_coat_avg; the coat's wm draw is independent of the
+        # base randoms). The coat CONTRIBUTION keeps F at the
+        # deterministic wm(wo,wi) — that term is exact as-is (wm is a
+        # function of wi for a reflection lobe). The reference instead
+        # (a) dims rough coats with F(wm(wo,wi)) — not the sampling
+        # marginal, measured ±0.8% on coat=1 furnaces — and (b) drops
+        # the SMOOTH coat's dimming entirely (bsdf.metal:487-488 returns
+        # {} WITHOUT setting fresnel_ss, so `coat *= coatFresnel_ss` at
+        # :220 reads an uninitialized float): +0.7% MIS-only overshoot
+        # (the simple kernel measures exact). A smooth coat's F̄ is
+        # F(|wo.z|) (delta VNDF at z), taken exactly rather than from
+        # the table edge.
         coat_f_smooth = fresnel.fresnel_dielectric(
             jnp.abs(wo[..., 2]), CLEARCOAT_IOR
         )
         coat_dim = ctx.clearcoat * jnp.where(
-            coat_smooth, coat_f_smooth, jnp.where(wm_ok, coat_f_ss, 0.0)
+            coat_smooth, coat_f_smooth,
+            luts_mod.sample2d(luts.F_coat_avg, jnp.abs(wo[..., 2]),
+                              ctx.clearcoat_roughness),
         )
-        coat_add = jnp.where(coat_smooth, 0.0, coat_dim)
+        coat_add = ctx.clearcoat * jnp.where(
+            coat_smooth | ~wm_ok, 0.0, coat_f_ss)
         if multiscatter:
             # Turquin 1/E compensation on the coat lobe (the reference
             # leaves the coat single-scatter: at coat roughness 0.6 the

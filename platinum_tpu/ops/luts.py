@@ -52,9 +52,110 @@ class Luts:
     E_trans_out: jnp.ndarray
     E_trans_in_avg: jnp.ndarray
     E_trans_out_avg: jnp.ndarray
+    # Mean clearcoat Fresnel over the visible NDF, F̄(wo) =
+    # ∫ Dv(wm|wo)·F(wo·wm, 1.5) dwm, (32 rough, 32 cos). This is the
+    # EXACT marginal probability (÷ clearcoat) that sample() picks the
+    # coat lobe (its wm draw is independent of the base lobes' randoms),
+    # so evaluate() dims the base with it — the reference dims with
+    # F at the deterministic half-vector wm(wo, wi) instead, which
+    # differs from the true sampling marginal and costs a measured
+    # ±0.8% on coat=1 furnaces. Computed at load (deterministic
+    # midpoint quadrature, not MC — no bundle entry needed).
+    F_coat_avg: jnp.ndarray
+    # Fresnel-WEIGHTED single-scatter coat albedo over the same warp,
+    # E_F(wo) = ∫ Dv(wm|wo)·F(wo·wm)·(G2/G1)(wm) dwm with below-horizon
+    # reflections rejected. F(wm) and the VNDF sample weight G2/G1 are
+    # negatively correlated (grazing wm: high F, strong masking), so the
+    # Fresnel-free 1/E under-compensates the coat lobe at high roughness
+    # (measured -0.9% at coat roughness 0.9); F̄/E_F is the exact
+    # normalizer: the sampled coat yield becomes c·F̄ identically,
+    # cancelling the base dimming's (1 - c·F̄).
+    E_F_coat: jnp.ndarray
 
 
 _CACHED: dict = {}
+
+
+def _bake_coat_fresnel_avg(n_rough: int = 32, n_cos: int = 32,
+                           n_quad: int = 64, ior: float = 1.5):
+    """Deterministic (n_quad² midpoint) quadrature over the spherical-cap
+    VNDF warp — the same warp ggx.sample_vmdf uses, so the tables ARE the
+    sampler's marginals. Returns (F̄, E_F): the mean coat Fresnel and the
+    Fresnel-weighted single-scatter albedo (G2/G1 weight, below-horizon
+    reflections rejected), both (n_rough, n_cos) float32."""
+    r = (np.arange(n_rough, dtype=np.float64) + 0.5) / n_rough
+    c = (np.arange(n_cos, dtype=np.float64) + 0.5) / n_cos
+    rough, cos_o = np.meshgrid(r, c, indexing="ij")       # (R, C)
+    alpha = np.maximum(rough * rough, 1e-4)[..., None]    # (R, C, 1)
+    sin_o = np.sqrt(np.maximum(0.0, 1.0 - cos_o * cos_o))[..., None]
+    cos_o = cos_o[..., None]
+
+    u = (np.arange(n_quad, dtype=np.float64) + 0.5) / n_quad
+    u1, u2 = np.meshgrid(u, u, indexing="ij")
+    u1, u2 = u1.ravel(), u2.ravel()                       # (Q,)
+
+    # wo = (sin_o, 0, cos_o); wh = normalize(alpha·wo.xy, wo.z)
+    whx, whz = alpha * sin_o, np.broadcast_to(cos_o, alpha.shape).copy()
+    n = np.sqrt(whx * whx + whz * whz)
+    whx, whz = whx / n, whz / n                           # why = 0
+    # tangent frame: b = normalize(cross(z, wh)) = (0, 1, 0) for why=0,
+    # t = cross(wh, b) = (-whz, 0, whx)
+    # disk point (sqrt-polar), cap-mix on the y component
+    pr = np.sqrt(u1)
+    px = pr * np.cos(2.0 * np.pi * u2)                    # (Q,)
+    py_raw = pr * np.sin(2.0 * np.pi * u2)
+    h = np.sqrt(np.maximum(0.0, 1.0 - px * px))
+    mix = 0.5 * whz + 0.5                                 # (R, C, 1)
+    py = h * (1.0 - mix) + py_raw * mix                   # (R, C, Q)
+    pz = np.sqrt(np.maximum(0.0, 1.0 - px * px - py * py))
+    # nh = b·px + t·py + wh·pz  (b = +Y)
+    nhx = -whz * py + whx * pz
+    nhz = whx * py + whz * pz
+    # wm = normalize(alpha·nh.xy, max(eps, nh.z)); nhy only scales y
+    nhy = np.broadcast_to(px, py.shape)
+    wmx, wmy, wmz = alpha * nhx, alpha * nhy, np.maximum(1e-6, nhz)
+    n = np.sqrt(wmx * wmx + wmy * wmy + wmz * wmz)
+    cos_wm = np.clip((sin_o * wmx + cos_o * wmz) / n, 0.0, 1.0)
+
+    sin2_t = (1.0 - cos_wm * cos_wm) / (ior * ior)
+    cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+    par = (ior * cos_wm - cos_t) / np.maximum(ior * cos_wm + cos_t, 1e-20)
+    per = (cos_wm - ior * cos_t) / np.maximum(cos_wm + ior * cos_t, 1e-20)
+    f = 0.5 * (par * par + per * per)
+    f = np.where(sin2_t >= 1.0, 1.0, f)
+
+    # wi = reflect(-wo, wm); VNDF sample weight ss·cos/pdf = G2/G1,
+    # zero when the reflection leaves the hemisphere (bad_coat rejection)
+    wmx_n, wmz_n = wmx / n, wmz / n
+    dot_raw = sin_o * wmx_n + cos_o * wmz_n
+    wiz = 2.0 * dot_raw * wmz_n - cos_o
+    alpha2 = alpha * alpha
+
+    def lam(z):
+        z2 = np.maximum(z * z, 1e-20)
+        return (np.sqrt(1.0 + alpha2 * (1.0 - z2) / z2) - 1.0) * 0.5
+
+    w_vndf = np.where(
+        wiz > 0.0,
+        (1.0 + lam(cos_o)) / (1.0 + lam(cos_o) + lam(wiz)),
+        0.0,
+    )
+    return (f.mean(axis=-1).astype(np.float32),
+            (f * w_vndf).mean(axis=-1).astype(np.float32))
+
+
+_COAT_TABLES: tuple | None = None
+
+
+def _coat_fresnel_avg() -> np.ndarray:
+    return _coat_tables()[0]
+
+
+def _coat_tables() -> tuple:
+    global _COAT_TABLES
+    if _COAT_TABLES is None:
+        _COAT_TABLES = _bake_coat_fresnel_avg()
+    return _COAT_TABLES
 
 
 def load_luts(path: str | None = None) -> Luts:
@@ -63,7 +164,8 @@ def load_luts(path: str | None = None) -> Luts:
         data = np.load(path)
         _CACHED[path] = Luts(**{
             k: jnp.asarray(data[k], jnp.float32) for k in LUT_NAMES
-        })
+        }, F_coat_avg=jnp.asarray(_coat_tables()[0]),
+           E_F_coat=jnp.asarray(_coat_tables()[1]))
     return _CACHED[path]
 
 
@@ -79,17 +181,39 @@ def placeholder_luts() -> Luts:
         E_trans_out=jnp.ones((32, 32, 32)),
         E_trans_in_avg=jnp.ones((32, 32)),
         E_trans_out_avg=jnp.ones((32, 32)),
+        F_coat_avg=jnp.asarray(_coat_tables()[0]),
+        E_F_coat=jnp.asarray(_coat_tables()[1]),
     )
 
 
+def _bundle_path() -> str | None:
+    """Which bundle both the device (get_luts) and host (get_host_luts)
+    paths load — they MUST agree or flatten-baked energy rows and direct
+    LUT lookups diverge.
+
+    Default: the SELF-BAKED bundle. It is baked against THIS estimator's
+    sampling conventions (invalid-flip/off-hemisphere rejections, oriented
+    cosines, weight-1 transmitted MIS), which round 3 deliberately changed
+    from the reference's; the reference's shipped tables normalize ITS
+    estimator and are measurably wrong for ours where the estimators
+    diverge (rough-glass furnace -3.2% with the reference's E_trans —
+    the tables differ by up to 0.13 there, and up to 0.64 in E_ms).
+    Set PLATINUM_TPU_LUTS=ref for the reference-derived bundle
+    (bit-comparable compensation values for parity experiments), or to a
+    .npz path for a custom bake."""
+    env = os.environ.get("PLATINUM_TPU_LUTS", "").strip()
+    if env == "ref":
+        return LUT_BUNDLE_REF if os.path.exists(LUT_BUNDLE_REF) else None
+    if env and env != "own":
+        return env if os.path.exists(env) else None
+    return LUT_BUNDLE if os.path.exists(LUT_BUNDLE) else None
+
+
 def get_luts() -> Luts:
-    """Default LUT set: the reference-derived bundle when present (exact
-    energy-compensation parity), else the self-baked one, else identity."""
-    if os.path.exists(LUT_BUNDLE_REF):
-        return load_luts(LUT_BUNDLE_REF)
-    if os.path.exists(LUT_BUNDLE):
-        return load_luts()
-    return placeholder_luts()
+    """Default LUT set: see _bundle_path(); identity placeholder when no
+    bundle is available."""
+    path = _bundle_path()
+    return load_luts(path) if path else placeholder_luts()
 
 
 # ---------------------------------------------------------------------------
@@ -183,10 +307,13 @@ _HOST_CACHE: dict = {}
 
 def get_host_luts():
     """Host-side (numpy) LUT bundle for flatten-time baking — avoids
-    device→host readbacks of the jnp Luts (expensive on tunneled TPUs)."""
+    device→host readbacks of the jnp Luts (expensive on tunneled TPUs).
+    Loads the SAME bundle get_luts() prefers (see _bundle_path), so
+    flatten-baked energy rows and direct LUT lookups agree."""
     if "host" not in _HOST_CACHE:
-        if os.path.exists(LUT_BUNDLE):
-            data = np.load(LUT_BUNDLE)
+        path = _bundle_path()
+        if path:
+            data = np.load(path)
             arrays = {k: np.asarray(data[k], np.float32) for k in LUT_NAMES}
         else:
             ph = placeholder_luts()
@@ -194,5 +321,6 @@ def get_host_luts():
 
             arrays = {k: np.asarray(jax.device_get(getattr(ph, k)))
                       for k in LUT_NAMES}
-        _HOST_CACHE["host"] = Luts(**arrays)
+        _HOST_CACHE["host"] = Luts(**arrays, F_coat_avg=_coat_tables()[0],
+                                     E_F_coat=_coat_tables()[1])
     return _HOST_CACHE["host"]

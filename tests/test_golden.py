@@ -98,7 +98,9 @@ def test_analytic_furnace_exact():
     # LUT-accuracy floor only: with mixture-pdf MIS (settings.mixture_pdf,
     # default) the estimator's partition of unity is exact and the furnace
     # closes to the energy-compensation tables' resolution (measured
-    # 8.9e-4 at 64 spp)
+    # 8.4e-4 at 64 spp with the self-baked bundle both paths now load —
+    # see ops/luts._bundle_path for why the reference's tables are not
+    # valid normalizers for this estimator)
     assert abs(img.mean() - 0.5) < 2e-3, img.mean()
 
 

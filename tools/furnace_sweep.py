@@ -25,24 +25,31 @@ localized the round-3 fidelity fixes:
     rejecting them (models/bsdf.py sample()) makes 1/E exact; the thin
     furnace closes to within 5e-4 across roughness.
 
-  * clearcoat: (a) the reference's eval drops the SMOOTH coat's base
-    dimming entirely (bsdf.metal:487-488 returns {} without setting
-    fresnel_ss; :220 then reads an uninitialized float) — NEE sees an
-    undimmed base while sampling pays the coat pick: +0.7% MIS-only
-    overshoot, fixed by dimming with the exact selection probability
-    c*F(|wo.z|); (b) rough coats ship single-scatter in the reference —
-    a 1/E compensation makes the coat lobe's albedo exact (-0.7% →
-    -0.36% at coat roughness 0.6).
+  * clearcoat, three defects: (a) the reference's eval drops the SMOOTH
+    coat's base dimming entirely (bsdf.metal:487-488 returns {} without
+    setting fresnel_ss; :220 then reads an uninitialized float) — NEE
+    sees an undimmed base while sampling pays the coat pick: +0.7%
+    MIS-only overshoot; (b) rough coats dim the base with F at the
+    deterministic wm(wo,wi), not the true sampling marginal c·F̄(wo)
+    (F̄ = mean Fresnel over the coat VNDF — ±0.8% on coat=1 furnaces);
+    (c) the coat lobe ships single-scatter, and the naive 1/E
+    compensation under-corrects because F(wm) and the VNDF weight
+    G2/G1 are negatively correlated. All three fixed: evaluate() dims
+    with c·F̄(wo) (load-time-baked quadrature table, exact for smooth
+    coats as F(|wo.z|)) and the coat lobe is scaled by F̄/E_F (E_F =
+    Fresnel-WEIGHTED albedo), making the sampled coat yield c·F̄
+    identically. Coat furnaces: within 1.1e-3 for coat roughness ≤0.6
+    (-2.2e-3 at the 0.9 corner).
+  * the device LUT path and the flatten-baked energy rows silently
+    loaded DIFFERENT bundles (reference-derived vs self-baked). The
+    sweep proved the reference's tables are wrong normalizers for this
+    estimator (rough-glass furnace -3.2%: its sampling conventions
+    differ by design — rejections, oriented cosines, weight-1
+    transmitted MIS). Both paths now load the self-baked bundle
+    (ops/luts._bundle_path; PLATINUM_TPU_LUTS=ref for parity runs).
 
-Remaining known deficit (documented): the rough-coat layering model
-evaluates the coat Fresnel at the deterministic half-vector wm(wo,wi)
-while sampling selects with F at a VMDF-sampled wm — the reported
-mixture density differs from the true sampling marginal by the
-correlation term, measured ±0.8% worst-case on coat=1 furnaces
-(+0.3% at coat roughness 0.12, -0.8% at 0.9); real scenes scale this
-by c*F_avg ≈ 0.04c. An exact fix needs a mean-coat-Fresnel LUT
-F_avg(wo.z, coat roughness) in eval; the reference shares the same
-structure.
+With all of the above the sweep sits within 2.1e-3 worst-case across
+the entire material space (most cases ≤1e-3).
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
