@@ -158,12 +158,12 @@ def test_furnace_glass(luts_available):
 def test_furnace_clearcoat(luts_available):
     img = _furnace(albedo=1.0, roughness=0.4, clearcoat=1.0)
     assert not np.isnan(img).any()
-    # Smooth coat (the default): evaluate() dims the base by the exact
-    # coat selection probability (the reference reads an UNINITIALIZED
-    # fresnel there, bsdf.metal:487-488/:220) — measured -3e-4. Rough
-    # coats carry a 1/E-compensated lobe (exact albedo) and a documented
-    # ±0.8% layering residual (F at sampled vs deterministic wm);
-    # see tools/furnace_sweep.py.
+    # evaluate() dims the base by the TRUE marginal coat-selection
+    # probability c·F̄(wo) (the reference reads an UNINITIALIZED fresnel
+    # for smooth coats, bsdf.metal:487-488/:220, and uses F at the wrong
+    # wm for rough ones) and the coat lobe is compensated by F̄/E_F, so
+    # the layered furnace is energy-exact: measured -6e-4 (smooth coat),
+    # within 1.1e-3 for coat roughness ≤ 0.6. See tools/furnace_sweep.py.
     assert abs(img.mean() - 0.5) < 0.004, img.mean()
 
 
@@ -219,3 +219,50 @@ def test_furnace_thin_glass(luts_available):
                    thin=True, spp=48, bounces=24)
     assert not np.isnan(img).any()
     assert abs(img.mean() - 0.5) < 0.004, img.mean()
+
+
+def test_coat_tables_properties_and_warp_match():
+    """The load-time-baked clearcoat tables (ops/luts._bake_coat_fresnel_avg)
+    must (a) satisfy basic bounds (E_F ≤ F̄, both in (0,1], comp ≥ 1),
+    (b) reduce to the plain Fresnel as roughness → 0, and (c) agree with a
+    Monte-Carlo estimate over the REAL sampler (ggx.sample_vmdf) — the
+    quadrature reimplements the spherical-cap warp in numpy, and any
+    divergence between the two warps would silently break the exact
+    layered-coat energy accounting."""
+    from platinum_tpu.ops import luts as lm
+
+    fbar, ef = lm._coat_tables()
+    assert fbar.shape == ef.shape == (32, 32)
+    assert (fbar > 0).all() and (fbar <= 1.0).all()
+    assert (ef > 0).all() and (ef <= fbar + 1e-6).all()
+
+    # (b) first roughness row (r = 1/64): VNDF is nearly a delta at z,
+    # so F̄ ≈ F(cos) away from grazing
+    cos = (np.arange(32) + 0.5) / 32
+    f_exact = np.asarray(fresnel.fresnel_dielectric(jnp.asarray(cos),
+                                                    jnp.asarray(1.5)))
+    assert np.abs(fbar[0, 8:] - f_exact[8:]).max() < 2e-3
+
+    # (c) MC cross-check on interior cells via the real sampler
+    rng = np.random.default_rng(7)
+    n = 20000
+    for r_cell, c_cell in ((10, 16), (24, 8), (28, 26)):
+        rough = (r_cell + 0.5) / 32
+        cos_o = (c_cell + 0.5) / 32
+        alpha = jnp.full((n, 2), max(rough * rough, 1e-4))
+        wo = jnp.broadcast_to(jnp.asarray(
+            [np.sqrt(1 - cos_o**2), 0.0, cos_o], jnp.float32), (n, 3))
+        u = jnp.asarray(rng.random((n, 2)), jnp.float32)
+        wm = ggx.sample_vmdf(alpha, wo, u)
+        f = np.asarray(fresnel.fresnel_dielectric(
+            jnp.abs(jnp.sum(wo * wm, axis=-1)), jnp.asarray(1.5)))
+        wi = np.asarray(ggx.reflect(-wo, wm))
+        w = np.where(wi[:, 2] > 0.0,
+                     np.asarray(ggx.g(alpha, wo, jnp.asarray(wi)))
+                     / np.asarray(ggx.g1(alpha, wo)), 0.0)
+        se_f = f.std() / np.sqrt(n)
+        se_fw = (f * w).std() / np.sqrt(n)
+        assert abs(f.mean() - fbar[r_cell, c_cell]) < 5 * se_f + 2e-3, (
+            r_cell, c_cell, f.mean(), fbar[r_cell, c_cell])
+        assert abs((f * w).mean() - ef[r_cell, c_cell]) < 5 * se_fw + 2e-3, (
+            r_cell, c_cell, (f * w).mean(), ef[r_cell, c_cell])
