@@ -30,9 +30,11 @@ RESOURCE_DIR = os.path.join(os.path.dirname(__file__), "..", "resources")
 # Self-baked bundle (tools/lut_baker.py output)
 LUT_BUNDLE = os.path.join(RESOURCE_DIR, "ggx_luts.npz")
 # Bundle converted from the reference's shipped LUT EXRs
-# (tools/import_luts.py over resource/lut/ — SURVEY §2.7 sanctions loading
-# these exact values for bit-comparable energy compensation; the self-baked
-# set carries ~1% Monte-Carlo noise). Preferred by get_luts() when present.
+# (tools/import_luts.py over resource/lut/). NOT the default: the
+# reference's tables normalize ITS estimator, and this framework's
+# sampling conventions deliberately differ (see _bundle_path) — they are
+# measurably wrong normalizers here (rough-glass furnace -3.2%). Opt in
+# with PLATINUM_TPU_LUTS=ref for bit-comparable parity experiments.
 LUT_BUNDLE_REF = os.path.join(RESOURCE_DIR, "ggx_luts_ref.npz")
 
 LUT_NAMES = (
@@ -80,9 +82,12 @@ def _bake_coat_fresnel_avg(n_rough: int = 32, n_cos: int = 32,
                            n_quad: int = 64, ior: float = 1.5):
     """Deterministic (n_quad² midpoint) quadrature over the spherical-cap
     VNDF warp — the same warp ggx.sample_vmdf uses, so the tables ARE the
-    sampler's marginals. Returns (F̄, E_F): the mean coat Fresnel and the
-    Fresnel-weighted single-scatter albedo (G2/G1 weight, below-horizon
-    reflections rejected), both (n_rough, n_cos) float32."""
+    sampler's marginals. COUPLING: this is a numpy reimplementation of
+    that warp; if ggx.sample_vmdf ever changes (e.g. bounded-VNDF), this
+    bake must change with it — test_coat_tables_properties_and_warp_match
+    cross-checks the two by MC. Returns (F̄, E_F): the mean coat Fresnel
+    and the Fresnel-weighted single-scatter albedo (G2/G1 weight,
+    below-horizon reflections rejected), both (n_rough, n_cos) float32."""
     r = (np.arange(n_rough, dtype=np.float64) + 0.5) / n_rough
     c = (np.arange(n_cos, dtype=np.float64) + 0.5) / n_cos
     rough, cos_o = np.meshgrid(r, c, indexing="ij")       # (R, C)
@@ -98,57 +103,61 @@ def _bake_coat_fresnel_avg(n_rough: int = 32, n_cos: int = 32,
     whx, whz = alpha * sin_o, np.broadcast_to(cos_o, alpha.shape).copy()
     n = np.sqrt(whx * whx + whz * whz)
     whx, whz = whx / n, whz / n                           # why = 0
-    # tangent frame: b = normalize(cross(z, wh)) = (0, 1, 0) for why=0,
-    # t = cross(wh, b) = (-whz, 0, whx)
-    # disk point (sqrt-polar), cap-mix on the y component
-    pr = np.sqrt(u1)
-    px = pr * np.cos(2.0 * np.pi * u2)                    # (Q,)
-    py_raw = pr * np.sin(2.0 * np.pi * u2)
-    h = np.sqrt(np.maximum(0.0, 1.0 - px * px))
-    mix = 0.5 * whz + 0.5                                 # (R, C, 1)
-    py = h * (1.0 - mix) + py_raw * mix                   # (R, C, Q)
-    pz = np.sqrt(np.maximum(0.0, 1.0 - px * px - py * py))
-    # nh = b·px + t·py + wh·pz  (b = +Y)
-    nhx = -whz * py + whx * pz
-    nhz = whx * py + whz * pz
-    # wm = normalize(alpha·nh.xy, max(eps, nh.z)); nhy only scales y
-    nhy = np.broadcast_to(px, py.shape)
-    wmx, wmy, wmz = alpha * nhx, alpha * nhy, np.maximum(1e-6, nhz)
-    n = np.sqrt(wmx * wmx + wmy * wmy + wmz * wmz)
-    cos_wm = np.clip((sin_o * wmx + cos_o * wmz) / n, 0.0, 1.0)
-
-    sin2_t = (1.0 - cos_wm * cos_wm) / (ior * ior)
-    cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
-    par = (ior * cos_wm - cos_t) / np.maximum(ior * cos_wm + cos_t, 1e-20)
-    per = (cos_wm - ior * cos_t) / np.maximum(cos_wm + ior * cos_t, 1e-20)
-    f = 0.5 * (par * par + per * per)
-    f = np.where(sin2_t >= 1.0, 1.0, f)
-
-    # wi = reflect(-wo, wm); VNDF sample weight ss·cos/pdf = G2/G1,
-    # zero when the reflection leaves the hemisphere (bad_coat rejection)
-    wmx_n, wmz_n = wmx / n, wmz / n
-    dot_raw = sin_o * wmx_n + cos_o * wmz_n
-    wiz = 2.0 * dot_raw * wmz_n - cos_o
     alpha2 = alpha * alpha
+    mix = 0.5 * whz + 0.5                                 # (R, C, 1)
 
     def lam(z):
         z2 = np.maximum(z * z, 1e-20)
         return (np.sqrt(1.0 + alpha2 * (1.0 - z2) / z2) - 1.0) * 0.5
 
-    w_vndf = np.where(
-        wiz > 0.0,
-        (1.0 + lam(cos_o)) / (1.0 + lam(cos_o) + lam(wiz)),
-        0.0,
-    )
-    return (f.mean(axis=-1).astype(np.float32),
-            (f * w_vndf).mean(axis=-1).astype(np.float32))
+    # Accumulate the quadrature in chunks: the (R, C, chunk) float64
+    # intermediates dominate memory (the unchunked bake peaked ~700 MB)
+    f_sum = np.zeros(alpha.shape[:2])
+    fw_sum = np.zeros(alpha.shape[:2])
+    q_total = u1.size
+    for lo in range(0, q_total, 512):
+        u1c, u2c = u1[lo:lo + 512], u2[lo:lo + 512]
+        # tangent frame: b = normalize(cross(z, wh)) = (0, 1, 0) for
+        # why=0, t = cross(wh, b) = (-whz, 0, whx)
+        # disk point (sqrt-polar), cap-mix on the y component
+        pr = np.sqrt(u1c)
+        px = pr * np.cos(2.0 * np.pi * u2c)               # (q,)
+        py_raw = pr * np.sin(2.0 * np.pi * u2c)
+        h = np.sqrt(np.maximum(0.0, 1.0 - px * px))
+        py = h * (1.0 - mix) + py_raw * mix               # (R, C, q)
+        pz = np.sqrt(np.maximum(0.0, 1.0 - px * px - py * py))
+        # nh = b·px + t·py + wh·pz  (b = +Y)
+        nhx = -whz * py + whx * pz
+        nhz = whx * py + whz * pz
+        # wm = normalize(alpha·nh.xy, max(eps, nh.z)); nh.y = px
+        wmx, wmy, wmz = alpha * nhx, alpha * px, np.maximum(1e-6, nhz)
+        n = np.sqrt(wmx * wmx + wmy * wmy + wmz * wmz)
+        cos_wm = np.clip((sin_o * wmx + cos_o * wmz) / n, 0.0, 1.0)
+
+        sin2_t = (1.0 - cos_wm * cos_wm) / (ior * ior)
+        cos_t = np.sqrt(np.maximum(0.0, 1.0 - sin2_t))
+        par = (ior * cos_wm - cos_t) / np.maximum(ior * cos_wm + cos_t, 1e-20)
+        per = (cos_wm - ior * cos_t) / np.maximum(cos_wm + ior * cos_t, 1e-20)
+        f = 0.5 * (par * par + per * per)
+        f = np.where(sin2_t >= 1.0, 1.0, f)
+
+        # wi = reflect(-wo, wm); VNDF sample weight ss·cos/pdf = G2/G1,
+        # zero when the reflection leaves the hemisphere (bad_coat
+        # rejection)
+        wmx_n, wmz_n = wmx / n, wmz / n
+        wiz = 2.0 * (sin_o * wmx_n + cos_o * wmz_n) * wmz_n - cos_o
+        w_vndf = np.where(
+            wiz > 0.0,
+            (1.0 + lam(cos_o)) / (1.0 + lam(cos_o) + lam(wiz)),
+            0.0,
+        )
+        f_sum += f.sum(axis=-1)
+        fw_sum += (f * w_vndf).sum(axis=-1)
+    return ((f_sum / q_total).astype(np.float32),
+            (fw_sum / q_total).astype(np.float32))
 
 
 _COAT_TABLES: tuple | None = None
-
-
-def _coat_fresnel_avg() -> np.ndarray:
-    return _coat_tables()[0]
 
 
 def _coat_tables() -> tuple:
@@ -200,12 +209,18 @@ def _bundle_path() -> str | None:
     the tables differ by up to 0.13 there, and up to 0.64 in E_ms).
     Set PLATINUM_TPU_LUTS=ref for the reference-derived bundle
     (bit-comparable compensation values for parity experiments), or to a
-    .npz path for a custom bake."""
+    .npz path for a custom bake. An env selection that names a missing
+    bundle raises rather than silently serving identity (E=1) tables —
+    a silent fallback would lose all energy compensation."""
     env = os.environ.get("PLATINUM_TPU_LUTS", "").strip()
-    if env == "ref":
-        return LUT_BUNDLE_REF if os.path.exists(LUT_BUNDLE_REF) else None
     if env and env != "own":
-        return env if os.path.exists(env) else None
+        path = LUT_BUNDLE_REF if env == "ref" else env
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"PLATINUM_TPU_LUTS={env!r} names a LUT bundle that does "
+                f"not exist ({path}); unset it for the default self-baked "
+                f"bundle")
+        return path
     return LUT_BUNDLE if os.path.exists(LUT_BUNDLE) else None
 
 
@@ -309,9 +324,11 @@ def get_host_luts():
     """Host-side (numpy) LUT bundle for flatten-time baking — avoids
     device→host readbacks of the jnp Luts (expensive on tunneled TPUs).
     Loads the SAME bundle get_luts() prefers (see _bundle_path), so
-    flatten-baked energy rows and direct LUT lookups agree."""
-    if "host" not in _HOST_CACHE:
-        path = _bundle_path()
+    flatten-baked energy rows and direct LUT lookups agree; cached per
+    bundle path so a PLATINUM_TPU_LUTS change mid-process cannot leave
+    the two paths on different bundles."""
+    path = _bundle_path()
+    if path not in _HOST_CACHE:
         if path:
             data = np.load(path)
             arrays = {k: np.asarray(data[k], np.float32) for k in LUT_NAMES}
@@ -321,6 +338,6 @@ def get_host_luts():
 
             arrays = {k: np.asarray(jax.device_get(getattr(ph, k)))
                       for k in LUT_NAMES}
-        _HOST_CACHE["host"] = Luts(**arrays, F_coat_avg=_coat_tables()[0],
-                                     E_F_coat=_coat_tables()[1])
-    return _HOST_CACHE["host"]
+        _HOST_CACHE[path] = Luts(**arrays, F_coat_avg=_coat_tables()[0],
+                                 E_F_coat=_coat_tables()[1])
+    return _HOST_CACHE[path]

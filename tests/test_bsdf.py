@@ -213,8 +213,9 @@ def test_furnace_thin_glass(luts_available):
     rejected in the transmit branch (bsdf.py sample(), see comment there)
     the lobe's Fresnel-free albedo is exactly the E LUT and the furnace is
     energy-exact: measured -1.5e-4 (r 0.4), -1.1e-4 (r 0.2), -4.3e-4
-    (r 0.8) at 96 spp. Was +1.1% before the rejection, -5.3% before the
-    1/E compensation + transmitted-MIS weight fixes."""
+    (r 0.8) at 96 spp (this test renders 48 spp — ~sqrt(2)x the noise —
+    hence the 4e-3 band). Was +1.1% before the rejection, -5.3% before
+    the 1/E compensation + transmitted-MIS weight fixes."""
     img = _furnace(albedo=1.0, transmission=1.0, roughness=0.4, ior=1.5,
                    thin=True, spp=48, bounces=24)
     assert not np.isnan(img).any()
