@@ -272,6 +272,11 @@ def cmd_preview_interactive(args):
       select ID                            queue selection (outlined; applied
                                            between frames like the reference)
       remove ID [recursive|to_parent|to_root]  queue node removal
+      move ID X Y Z                        set a node's translation
+      mat ID [slot=N] key=value ...        edit the node's material (the
+                                           Properties-panel capability:
+                                           roughness/metallic/ior/…;
+                                           base_color/emission take r,g,b)
       import PATH                          glTF import under the selection
       savescene PATH                       write the scene as .ptscene
       frame                                write a studio frame
@@ -351,6 +356,41 @@ def cmd_preview_interactive(args):
                 store.remove_node(int(rest[0]), mode)
                 step_frame()
                 print(f"removed {rest[0]}", flush=True)
+            elif cmd == "move":
+                import numpy as np
+
+                node = scene.node(int(rest[0]))
+                node.transform.translation = np.asarray(
+                    [float(v) for v in rest[1:4]], np.float32)
+                studio.invalidate()
+                step_frame()
+                print(f"moved {rest[0]}", flush=True)
+            elif cmd == "mat":
+                from platinum_tpu.core.material import Material
+
+                node = scene.node(int(rest[0]))
+                kv = dict(p.split("=", 1) for p in rest[1:])
+                slot = int(kv.pop("slot", 0))
+                mid = node.material_ids[slot]
+                if mid is None:
+                    # default-material slot: materialize one so the edit
+                    # has something to land on (reference creates
+                    # materials in the asset manager first)
+                    mid = scene.add_asset(Material(name=f"mat_{rest[0]}"))
+                    scene.set_material(node.id, slot, mid)
+                mat = scene.asset(mid)
+                for key, val in kv.items():
+                    cur = getattr(mat, key)  # KeyError-like for bad names
+                    if isinstance(cur, tuple):
+                        vals = tuple(float(v) for v in val.split(","))
+                        setattr(mat, key, vals + cur[len(vals):])
+                    elif isinstance(cur, bool):
+                        setattr(mat, key, val.lower() in ("1", "true", "on"))
+                    else:
+                        setattr(mat, key, type(cur)(val))
+                studio.invalidate()
+                step_frame()
+                print(f"mat {mid} " + " ".join(sorted(kv)), flush=True)
             elif cmd == "import":
                 roots = store.import_gltf(rest[0])
                 step_frame(scene_dirty=True)
@@ -387,7 +427,8 @@ def cmd_preview_interactive(args):
                       flush=True)
             else:
                 print(f"unknown command: {cmd}", flush=True)
-        except (ValueError, IndexError, KeyError, OSError) as e:
+        except (ValueError, IndexError, KeyError, OSError,
+                AttributeError) as e:
             print(f"error: {e}", flush=True)
     print("bye", flush=True)
 

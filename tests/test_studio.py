@@ -59,6 +59,11 @@ def test_interactive_preview_session(tmp_path):
         "orbit 0.4 0.1",
         "zoom -2.0",
         "select 1",
+        # Properties-panel capability: edit a material + move a node
+        # between frames (scene_explorer.cpp / properties panel)
+        "mat 1 roughness=0.25 metallic=1.0 base_color=0.9,0.6,0.2",
+        "move 1 0.1 0.0 0.1",
+        "mat 1 bogus_attr=1",     # must error, not crash the session
         f"savescene {scn}",
         "render 2",
         f"save {save}",
@@ -73,8 +78,10 @@ def test_interactive_preview_session(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ready" in proc.stdout
     assert "picked" in proc.stdout
+    assert "mat " in proc.stdout and "moved 1" in proc.stdout
+    assert "error:" in proc.stdout          # bogus_attr rejected in-session
     assert "rendered 2 spp" in proc.stdout
-    assert proc.stdout.count("frame ") >= 5   # one per edit + progressive
+    assert proc.stdout.count("frame ") >= 7   # one per edit + progressive
     assert "bye" in proc.stdout
     assert "scene saved" in proc.stdout
     assert os.path.exists(out) and os.path.exists(save)
