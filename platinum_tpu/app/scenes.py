@@ -53,6 +53,7 @@ def make_furnace_scene(albedo: float = 1.0, roughness: float = 1.0,
                        metallic: float = 0.0, env_value: float = 0.5,
                        transmission: float = 0.0, ior: float = 1.5,
                        clearcoat: float = 0.0, clearcoat_roughness: float = 0.0,
+                       anisotropy: float = 0.0, anisotropy_rotation: float = 0.0,
                        thin: bool = False) -> tuple:
     """White-furnace test scene: a sphere in a constant environment. With
     albedo 1 and energy-preserving BSDFs, every pixel must equal env_value."""
@@ -69,6 +70,8 @@ def make_furnace_scene(albedo: float = 1.0, roughness: float = 1.0,
         ior=ior,
         clearcoat=clearcoat,
         clearcoat_roughness=clearcoat_roughness,
+        anisotropy=anisotropy,
+        anisotropy_rotation=anisotropy_rotation,
         thin_transmission=thin,
     )
     scene.set_material(node.id, 0, scene.add_asset(mat))

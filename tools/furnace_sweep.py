@@ -49,7 +49,15 @@ localized the round-3 fidelity fixes:
     (ops/luts._bundle_path; PLATINUM_TPU_LUTS=ref for parity runs).
 
 With all of the above the sweep sits within 2.1e-3 worst-case across
-the entire material space (most cases ≤1e-3).
+the isotropic material space (most cases ≤1e-3).
+
+Known shared limitation (documented, not fixed): ANISOTROPIC lobes use
+the isotropic energy LUTs at the scalar roughness (= geometric-mean
+alpha), exactly like the reference — the multiscatter compensation
+under-fills by up to -1.8% on an aniso=0.9 metal furnace (-0.2% at
+aniso 0.5; dielectrics ≤ -0.4% because f_avg is small). An exact fix
+needs azimuth-dependent (3-D) energy tables; both implementations
+share the 2-D ones.
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
@@ -80,6 +88,10 @@ CASES = [
     dict(albedo=1.0, roughness=0.4, clearcoat=1.0),
     dict(albedo=1.0, roughness=0.4, clearcoat=1.0, clearcoat_roughness=0.3),
     dict(albedo=1.0, roughness=0.4, clearcoat=1.0, clearcoat_roughness=0.6),
+    dict(albedo=1.0, roughness=0.4, metallic=1.0, anisotropy=0.5),
+    dict(albedo=1.0, roughness=0.4, metallic=1.0, anisotropy=0.9),
+    dict(albedo=1.0, roughness=0.5, metallic=1.0, anisotropy=0.8,
+         anisotropy_rotation=0.25),
 ]
 
 
