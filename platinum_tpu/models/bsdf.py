@@ -853,22 +853,26 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
     return BSDFSample(wi=wi, f=f, pdf=pdf, flags=flags)
 
 
-def emitted_radiance(ctx: ShadingContext, wo: jnp.ndarray,
-                     luts=None) -> jnp.ndarray:
+def emitted_radiance(ctx: ShadingContext, wo: jnp.ndarray, luts=None,
+                     features: frozenset = ALL_FEATURES) -> jnp.ndarray:
     """Deterministic expected emission on hit: emission scaled by the
     probability of the opaque-diffuse path (reference emits Le/(1-bf) from
     the diffuse sub-lobe stochastically; same expectation). The coat-pick
     probability uses the same true marginal c·F̄(wo) as evaluate()'s base
-    dimming (F(|wo.z|) exactly for smooth coats)."""
-    luts = luts or luts_mod.get_luts()
-    coat_smooth = ggx.is_smooth(ctx.coat_alpha)
-    fbar = jnp.where(
-        coat_smooth,
-        fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), CLEARCOAT_IOR),
-        luts_mod.sample2d(luts.F_coat_avg, jnp.abs(wo[..., 2]),
-                          ctx.clearcoat_roughness),
-    )
-    p_coat = ctx.clearcoat * fbar
+    dimming (F(|wo.z|) exactly for smooth coats); pruned to zero for
+    coat-free scenes like every other lobe."""
+    if "clearcoat" in features:
+        luts = luts or luts_mod.get_luts()
+        coat_smooth = ggx.is_smooth(ctx.coat_alpha)
+        fbar = jnp.where(
+            coat_smooth,
+            fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), CLEARCOAT_IOR),
+            luts_mod.sample2d(luts.F_coat_avg, jnp.abs(wo[..., 2]),
+                              ctx.clearcoat_roughness),
+        )
+        p_coat = ctx.clearcoat * fbar
+    else:
+        p_coat = 0.0
     p_opaque = (1.0 - p_coat) * (1.0 - ctx.metallic) * (1.0 - ctx.transmission)
     is_emissive = (ctx.flags & MAT_EMISSIVE) != 0
     return jnp.where(is_emissive[..., None], ctx.emission * p_opaque[..., None], 0.0)

@@ -317,7 +317,8 @@ def make_bounce_body(flat: FlatScene, settings: RenderSettings,
         # (the pass-through loop above runs before shading data is built).
 
         # --- Emission on hit (MIS against NEE) ------------------------------
-        le = bsdf_mod.emitted_radiance(ctx, hd.wo, luts=flat.luts)
+        le = bsdf_mod.emitted_radiance(ctx, hd.wo, luts=flat.luts,
+                                       features=features)
         if use_mis and lights_on:
             cos_hit = jnp.abs(jnp.sum(d * hd.gnormal, axis=-1))
             # distance from the previous path vertex (NOT the last alpha
