@@ -25,6 +25,9 @@ if [ "$MODE" = "full" ]; then
   timeout 7200 python -m pytest tests/ -q || exit 1
 fi
 
+echo "== 4b. mixture-pdf e2e cost A/B (COVERAGE round-4 queue item) =="
+timeout 3600 python perf/bench_mixture.py || exit 1
+
 echo "== 5. bench refresh =="
 timeout 5400 python bench.py || exit 1
 echo "ALL ON-CHIP VALIDATION GREEN"
