@@ -192,19 +192,20 @@ def _use_rows(ctx, features) -> bool:
 
 
 def _energy_row(ctx, cos):
-    """Interpolated (R, 4) [E, E_ms, E_trans_in, E_trans_out] at per-lane
-    cos from the per-material rows. Callers orient the cosines to the
-    wo-side hemisphere first (see _orient_cosines). Gather-free: linear interpolation over
-    the flattened (M*K, 4) table as ONE sparse-weight matmul (exact parity
-    with the former two-gather formulation; see ops.lookup.interp_rows).
-    Bin counts guarantee frac==0 at each material's last bin, so idx+1
-    never bleeds weight into the next material's rows."""
-    m, k = ctx.energy.shape[0], ctx.energy.shape[1]
+    """Interpolated (R, 6) [E, E_ms, E_trans_in, E_trans_out, F_coat_avg,
+    E_F_coat] at per-lane cos from the per-material rows. Callers orient
+    the cosines to the wo-side hemisphere first (see _orient_cosines).
+    Gather-free: linear interpolation over the flattened (M*K, 6) table
+    as ONE sparse-weight matmul (exact parity with the former two-gather
+    formulation; see ops.lookup.interp_rows). Bin counts guarantee
+    frac==0 at each material's last bin, so idx+1 never bleeds weight
+    into the next material's rows."""
+    m, k, w = ctx.energy.shape
     x = jnp.clip(cos * k - 0.5, 0.0, k - 1.0)
     x0 = jnp.floor(x)
     f = x - x0
     lin = ctx.mat_idx * k + x0.astype(jnp.int32)
-    return lookup.interp_rows(ctx.energy.reshape(m * k, 4), lin, f)
+    return lookup.interp_rows(ctx.energy.reshape(m * k, w), lin, f)
 
 
 def _orient_cosines(wo_z, wi_z):
@@ -275,7 +276,23 @@ def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
     return 1.0 / jnp.maximum(e_wo, 1e-3)
 
 
-def _coat_multiscatter(luts, coat_rough, wo_z):
+def _coat_fbar(luts, ctx, wo_z, features=None, coat_smooth=None):
+    """Mean coat Fresnel F̄(wo) — the TRUE marginal coat-selection
+    probability per unit clearcoat (exact F(|wo.z|) for smooth coats,
+    where the VNDF is a delta at z). Rows path when available (coat
+    roughness is untexturable, so per-material rows are always valid)."""
+    cos = jnp.abs(wo_z)
+    if features is not None and _use_rows(ctx, features):
+        fbar = _energy_row(ctx, cos)[..., 4]
+    else:
+        fbar = luts_mod.sample2d(luts.F_coat_avg, cos, ctx.clearcoat_roughness)
+    if coat_smooth is None:
+        coat_smooth = ggx.is_smooth(ctx.coat_alpha)
+    return jnp.where(
+        coat_smooth, fresnel.fresnel_dielectric(cos, CLEARCOAT_IOR), fbar)
+
+
+def _coat_multiscatter(luts, ctx, wo_z, features=None):
     """Energy compensation for the clearcoat GGX lobe: F̄(wo)/E_F(wo).
 
     The coat sample's yield is E[F(wm)·(G2/G1)] = E_F(wo) per unit
@@ -285,10 +302,15 @@ def _coat_multiscatter(luts, coat_rough, wo_z):
     sampled coat yield c·F̄(wo) IDENTICALLY — exactly cancelling the
     (1 − c·F̄) base dimming evaluate() applies, so the layered furnace
     is energy-exact. The reference ships the coat uncompensated
-    (single-scatter only). Tables baked at load: ops/luts.py."""
+    (single-scatter only). Tables baked at load: ops/luts.py; folded
+    into the gather-free per-material rows when available."""
     cos = jnp.abs(wo_z)
-    f_avg = luts_mod.sample2d(luts.F_coat_avg, cos, coat_rough)
-    e_f = luts_mod.sample2d(luts.E_F_coat, cos, coat_rough)
+    if features is not None and _use_rows(ctx, features):
+        row = _energy_row(ctx, cos)
+        f_avg, e_f = row[..., 4], row[..., 5]
+    else:
+        f_avg = luts_mod.sample2d(luts.F_coat_avg, cos, ctx.clearcoat_roughness)
+        e_f = luts_mod.sample2d(luts.E_F_coat, cos, ctx.clearcoat_roughness)
     return f_avg / jnp.maximum(e_f, 1e-4)
 
 
@@ -501,22 +523,16 @@ def evaluate(ctx: ShadingContext, wo: jnp.ndarray, wi: jnp.ndarray,
         # (the simple kernel measures exact). A smooth coat's F̄ is
         # F(|wo.z|) (delta VNDF at z), taken exactly rather than from
         # the table edge.
-        coat_f_smooth = fresnel.fresnel_dielectric(
-            jnp.abs(wo[..., 2]), CLEARCOAT_IOR
-        )
-        coat_dim = ctx.clearcoat * jnp.where(
-            coat_smooth, coat_f_smooth,
-            luts_mod.sample2d(luts.F_coat_avg, jnp.abs(wo[..., 2]),
-                              ctx.clearcoat_roughness),
-        )
+        coat_dim = ctx.clearcoat * _coat_fbar(luts, ctx, wo[..., 2],
+                                              features, coat_smooth)
         coat_add = ctx.clearcoat * jnp.where(
             coat_smooth | ~wm_ok, 0.0, coat_f_ss)
         if multiscatter:
-            # Turquin 1/E compensation on the coat lobe (the reference
-            # leaves the coat single-scatter: at coat roughness 0.6 the
+            # F̄/E_F compensation on the coat lobe (the reference leaves
+            # the coat single-scatter: at coat roughness 0.6 the
             # uncompensated lobe loses ~0.7% on a coat=1 furnace)
-            coat_ss = coat_ss * _coat_multiscatter(
-                luts, ctx.clearcoat_roughness, wo[..., 2])
+            coat_ss = coat_ss * _coat_multiscatter(luts, ctx, wo[..., 2],
+                                                   features)
         f = f * (1.0 - coat_dim[..., None]) + jnp.where(
             (coat_add > 0)[..., None], coat_ss[..., None] * coat_add[..., None],
             0.0
@@ -786,7 +802,7 @@ def sample(ctx: ShadingContext, wo: jnp.ndarray, r4: jnp.ndarray, rc: jnp.ndarra
         f_coat_rough = f_coat_ss * ggx.single_scatter_brdf(coat_alpha, wo, wi_coat_r, wm_coat)
         if multiscatter:
             f_coat_rough = f_coat_rough * _coat_multiscatter(
-                luts, ctx.clearcoat_roughness, wo[..., 2])
+                luts, ctx, wo[..., 2], features)
         pdf_coat_rough = f_coat_ss * ggx.pdf(coat_alpha, wo, wm_coat)
         f_coat_s = fresnel.fresnel_dielectric(wo[..., 2], CLEARCOAT_IOR)
 
@@ -863,14 +879,7 @@ def emitted_radiance(ctx: ShadingContext, wo: jnp.ndarray, luts=None,
     coat-free scenes like every other lobe."""
     if "clearcoat" in features:
         luts = luts or luts_mod.get_luts()
-        coat_smooth = ggx.is_smooth(ctx.coat_alpha)
-        fbar = jnp.where(
-            coat_smooth,
-            fresnel.fresnel_dielectric(jnp.abs(wo[..., 2]), CLEARCOAT_IOR),
-            luts_mod.sample2d(luts.F_coat_avg, jnp.abs(wo[..., 2]),
-                              ctx.clearcoat_roughness),
-        )
-        p_coat = ctx.clearcoat * fbar
+        p_coat = ctx.clearcoat * _coat_fbar(luts, ctx, wo[..., 2], features)
     else:
         p_coat = 0.0
     p_opaque = (1.0 - p_coat) * (1.0 - ctx.metallic) * (1.0 - ctx.transmission)

@@ -182,7 +182,7 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
     _l = _lm.get_host_luts()  # numpy view — never read device arrays back
     K = 64
     cos_grid = (np.arange(K, dtype=np.float64) + 0.5) / K
-    energy = np.zeros((n_mat, K, 4), F)
+    energy = np.zeros((n_mat, K, 6), F)
     energy_avg = np.zeros((n_mat, 4), F)
     for row in range(n_mat):
         rg, io = float(rough[row]), float(ior[row])
@@ -193,6 +193,11 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
         energy[row, :, 3] = _lm.sample3d_np(
             _l.E_trans_out, cos_grid, rg, 1.0 - (1.0 / max(io, 1e-6))
         )
+        # clearcoat layering tables at the material's (untexturable) coat
+        # roughness — keeps coat scenes on the gather-free rows path
+        cr = float(coat_rough[row])
+        energy[row, :, 4] = _lm.sample2d_np(_l.F_coat_avg, cos_grid, cr)
+        energy[row, :, 5] = _lm.sample2d_np(_l.E_F_coat, cos_grid, cr)
         energy_avg[row, 0] = _lm.sample1d_np(_l.E_avg, rg)
         energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
 

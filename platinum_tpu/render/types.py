@@ -69,10 +69,12 @@ class MaterialTable:
     # texture slot table: (M, 6) i32 atlas-entry index, -1 = none
     textures: jnp.ndarray
     # Per-material energy rows over cos-theta (K texels): [E, E_ms,
-    # E_trans_in, E_trans_out], and scalars [E_avg, E_ms_avg, 0, 0].
-    # Baked from the GGX LUTs at the material's (roughness, ior); valid only
-    # when roughness/metallic are untextured (feature 'tex_rough' disables).
-    energy: jnp.ndarray | None = None      # (M, K, 4)
+    # E_trans_in, E_trans_out, F_coat_avg, E_F_coat], and scalars
+    # [E_avg, E_ms_avg, 0, 0]. Baked from the GGX LUTs at the material's
+    # (roughness, ior) — the coat columns at its clearcoat_roughness;
+    # valid only when roughness/metallic are untextured (feature
+    # 'tex_rough' disables).
+    energy: jnp.ndarray | None = None      # (M, K, 6)
     energy_avg: jnp.ndarray | None = None  # (M, 4)
     # One-gather packed scalar row: [base_color(4), emission(3), roughness,
     # metallic, transmission, ior, anisotropy, aniso_rotation, clearcoat,
