@@ -102,7 +102,9 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     """
     import jax.numpy as jnp
 
-    from platinum_tpu.ops.intersect import INF, HitRecord, fold_closest
+    from platinum_tpu.ops.intersect import (
+        INF, HitRecord, fold_partition_tracers,
+    )
     from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
     pairs = [
@@ -119,21 +121,9 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
     instanced = any(m is not None for m in inst_maps)
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
-        r = o.shape[0]
-        best = HitRecord(
-            t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)),
-            tri=jnp.full((r,), -1, jnp.int32),
-            bary=jnp.zeros((r, 2)),
-            hit=jnp.zeros((r,), bool),
-            inst=(jnp.zeros((r,), jnp.int32) if instanced else None),
-        )
-        for tc, imap in zip(closest_tracers, inst_maps):
-            rec = tc(o, d, tmin, best.t, active=active)
-            override = None
-            if imap is not None:
-                local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
-                override = imap[local].astype(jnp.int32)
-            best = fold_closest(best, rec, inst_override=override)
+        best = fold_partition_tracers(closest_tracers, inst_maps, o, d,
+                                      tmin, tmax, active=active,
+                                      instanced=instanced)
         return HitRecord(
             t=jnp.where(best.hit, best.t, INF),
             tri=best.tri, bary=best.bary, hit=best.hit, inst=best.inst,

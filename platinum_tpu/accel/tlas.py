@@ -73,6 +73,11 @@ def feature_transform(matrix: np.ndarray) -> np.ndarray:
     m = np.asarray(matrix, np.float64)
     a = m[:3, :3]
     t = m[:3, 3]
+    if abs(np.linalg.det(a)) <= 1e-12:
+        raise ValueError(
+            "instance transform is singular (zero scale axis?) — the "
+            "instanced path needs A^-1; flatten routes such scenes to "
+            "the baked world-space path (instancing='off')")
     b = np.linalg.inv(a)
     c = -b @ t
     cx = np.array([[0, -c[2], c[1]],
@@ -100,14 +105,9 @@ def transform_aabb(lo: np.ndarray, hi: np.ndarray, matrix: np.ndarray):
     return (wc - we).astype(F), (wc + we).astype(F)
 
 
-def _leaf_meta_inst(block_start: int, n_blocks: int, inst: int) -> int:
-    assert 0 < n_blocks <= 31
-    assert 0 <= block_start < MAX_BLOCKS, block_start
-    assert 0 <= inst < MAX_INSTANCES, inst
-    return -(((inst << 19) | (block_start << 5) | n_blocks) + 2)
-
-
 def decode_leaf_meta(meta: int):
+    """Inverse of the inst<<19 | block<<5 | n_blocks leaf-meta encoding
+    written (vectorized) by _write_instance_nodes."""
     val = -meta - 2
     return val >> 19, (val >> 5) & 0x3FFF, val & 31   # inst, block, n_blocks
 
@@ -149,7 +149,7 @@ def partition_instanced(mesh_wides: list[WideBVH],
                         mesh_tri_base: list[int],
                         instances: list[tuple[int, np.ndarray]],
                         budget_bytes: int,
-                        ) -> list[tuple[InstancedBVH, np.ndarray]]:
+                        ) -> list[tuple[InstancedBVH, np.ndarray, list[int]]]:
     """Split an instanced scene whose stitched structure exceeds the VMEM
     budget into spatially-grouped sub-structures, each a standalone
     InstancedBVH over a subset of the instances.
@@ -195,6 +195,11 @@ def partition_instanced(mesh_wides: list[WideBVH],
         if cur and cur_cost + add > budget_bytes:
             groups.append(cur)
             cur, cur_meshes, cur_cost = [], set(), 0
+            # recost against the EMPTY group: the freshly-flushed
+            # partition owns none of mi's shared blocks, so the stale
+            # `add` would undercount by blk_bytes[mi] and let the new
+            # partition blow the VMEM budget
+            add = node_bytes[mi] + 10 * 128 * 4 + 512 + blk_bytes[mi]
         cur.append(gi)
         cur_meshes.add(mi)
         cur_cost += add

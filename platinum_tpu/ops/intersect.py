@@ -58,6 +58,34 @@ def fold_closest(best: HitRecord, rec: HitRecord,
     )
 
 
+def fold_partition_tracers(tracers, inst_maps, o, d, tmin, tmax,
+                           active=None, instanced=False) -> HitRecord:
+    """Carried-best-t fold over a list of resident partition tracers —
+    THE shared inner loop of accel.partition's sequential tracer and
+    parallel.geometry's per-device shard (one copy so their pinned
+    tie-breaking semantics cannot drift): each tracer is culled by the
+    running best t, partition-local instance ids remap through the
+    matching inst_maps entry (None = no remap). Returns the raw fold
+    (best.t still carries tmax on misses — callers apply the INF
+    convention or merge over ICI first)."""
+    r = o.shape[0]
+    best = HitRecord(
+        t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)),
+        tri=jnp.full((r,), -1, jnp.int32),
+        bary=jnp.zeros((r, 2)),
+        hit=jnp.zeros((r,), bool),
+        inst=(jnp.zeros((r,), jnp.int32) if instanced else None),
+    )
+    for tc, imap in zip(tracers, inst_maps):
+        rec = tc(o, d, tmin, best.t, active=active)
+        override = None
+        if imap is not None:
+            local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
+            override = imap[local].astype(jnp.int32)
+        best = fold_closest(best, rec, inst_override=override)
+    return best
+
+
 def _moller_trumbore(o, d, v0, e1, e2, tmin, tmax):
     """o, d: (R, 1, 3); v0/e1/e2: (1, C, 3). Returns t, u, v, valid (R, C)."""
     pvec = jnp.cross(d, e2)

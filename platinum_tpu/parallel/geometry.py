@@ -106,7 +106,7 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
     device fold that reproduces the sequential tracer's tie-breaking
     bit-for-bit. Composable with other mesh axes (sample/tile) in the same
     shard_map body."""
-    from platinum_tpu.ops.intersect import fold_closest
+    from platinum_tpu.ops.intersect import fold_partition_tracers
     from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
     instanced = "inst_feat" in shard
@@ -117,22 +117,10 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
         for i in range(k)]
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
-        r = o.shape[0]
-        best = HitRecord(
-            t=jnp.broadcast_to(jnp.asarray(tmax, F), (r,)),
-            tri=jnp.full((r,), -1, jnp.int32),
-            bary=jnp.zeros((r, 2)),
-            hit=jnp.zeros((r,), bool),
-            inst=(jnp.zeros((r,), jnp.int32) if instanced else None),
-        )
-        for i, (tc, _) in enumerate(pairs):
-            rec = tc(o, d, tmin, best.t, active=active)
-            override = None
-            if instanced:
-                imap = shard["inst_map"][i]
-                local = jnp.clip(rec.inst, 0, imap.shape[0] - 1)
-                override = imap[local]
-            best = fold_closest(best, rec, inst_override=override)
+        best = fold_partition_tracers(
+            [tc for tc, _ in pairs],
+            [shard["inst_map"][i] if instanced else None for i in range(k)],
+            o, d, tmin, tmax, active=active, instanced=instanced)
         # ICI merge: gather every device's best and fold in device order —
         # identical to the sequential partition fold (strict < keeps the
         # earliest partition's hit on exact ties). Float payload (t, u, v)

@@ -368,6 +368,16 @@ def flatten_scene(
         total_tris = sum(i.mesh.num_triangles for i in instances)
         use_instancing = total_tris >= accel_min_tris
     if use_instancing:
+        # Degenerate (non-invertible) instance transforms — e.g. a zero
+        # scale axis used to flatten an object — cannot ride the
+        # instanced path (BLAS entry needs A^-1 for the ray feature
+        # transform); the baked-soup path below handles them exactly
+        # like the reference's world-space build (renderer_pt.cpp:653)
+        dets = [abs(np.linalg.det(np.asarray(i.transform,
+                                             np.float64)[:3, :3]))
+                for i in instances]
+        use_instancing = min(dets) > 1e-12
+    if use_instancing:
         return _flatten_instanced(
             scene, camera_node_id, settings, instances, material_row,
             texture_entry, mat_ids, tex_assets, idt, accel_max_leaf,
