@@ -107,6 +107,7 @@ def cmd_render(args):
         instancing=getattr(args, "instancing", "auto"),
         **({"partition_tris": args.partition_tris}
            if getattr(args, "partition_tris", None) else {}),
+        stream=getattr(args, "stream", "off") or "off",
     )
     post = PostProcessOptions(
         exposure=ExposureOptions(exposure=args.exposure),
@@ -484,6 +485,10 @@ def build_parser():
                    help="per-partition triangle budget (default 350k; "
                         "lower it to force partitioning, e.g. for --mesh "
                         "geom=N)")
+    r.add_argument("--stream", choices=["off", "auto", "on"], default="off",
+                   help="HBM leaf-block streaming: beyond-VMEM scenes "
+                        "trace as one structure with DMA-staged blocks "
+                        "instead of partitioned passes")
     r.add_argument("--no-multiscatter", action="store_true")
     r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
     r.add_argument("--gmon-cap", type=float, default=1.0)

@@ -97,7 +97,8 @@ def _ctz16(x):
 
 def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                  instanced: bool = False, profile: str = "none",
-                 mtd: int = None, oct_order: bool = False):
+                 mtd: int = None, oct_order: bool = False,
+                 stream: bool = False):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -125,6 +126,17 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     transpose, keeping the expand chain MXU-free. The (10, 128) MT ray
     features live in VMEM scratch (not registers): the superstep body is
     register-tight and Mosaic would otherwise spill.
+
+    With `stream`, the MT coefficient blocks stay in HBM (the resident
+    design's one hard scene-size ceiling): every leaf enqueue starts an
+    async HBM->VMEM copy of its 10 KB block into a per-queue-slot VMEM
+    ring, and phase C drains the queue FIFO (oldest copy first) so the
+    DMA latency hides behind the rest of phase B and earlier drains.
+    Only the inner nodes must fit VMEM (~0.5 KB per 16 fat leaves), so
+    scene capacity rises from ~350k to many tens of millions of
+    triangles in a single structure; per-wave DMA traffic is
+    blocks-touched x 10 KB (~1 GB per incoherent 262k wave, ~1 ms of
+    HBM bandwidth vs the ~110 ms compute it overlaps).
     """
     P = p_packets
     K = pops
@@ -133,6 +145,10 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
     def kernel(*refs):
         refs = list(refs)
+        ring = dsem = None
+        if stream:
+            dsem = refs.pop()
+            ring = refs.pop()
         meta_ref = refs.pop(0)
         worder_ref = refs.pop(0) if oct_order else None
         if instanced:
@@ -253,13 +269,14 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             # (== bitwise OR) transfers the whole word in one sync
             return vec
 
-        def mt_block(p, block_idx, best0, commit):
+        def mt_block(p, block_idx, best0, commit, slot=None, valid=None):
             """Möller-Trumbore via the MXU: one coefficient block = 64
             triangles x 128 rays in one matmul (accel.wide has the
             factorisation). Candidate culling uses best0 (superstep
             snapshot) so the MT chains in a drain batch are independent;
             commits are an exact min against the live state. `commit`
-            masks out queue-padding slots."""
+            masks out queue-padding slots (`valid` is its scalar form,
+            used to predicate the stream-mode DMA wait)."""
             if profile == "nomt":
                 return
             b = SR * p
@@ -279,7 +296,19 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 )
             else:
                 feat = feat0
-            blk = tris_ref[block_idx]                   # (10, 256)
+            if stream:
+                # the block's HBM->VMEM copy was started at enqueue time;
+                # FIFO draining means this is the oldest copy in flight
+                cp = pltpu.make_async_copy(
+                    tris_ref.at[block_idx], ring.at[slot], dsem.at[slot])
+
+                @pl.when(valid)
+                def _wait():
+                    cp.wait()
+
+                blk = ring[slot]                        # (10, 256)
+            else:
+                blk = tris_ref[block_idx]               # (10, 256)
             out = jax.lax.dot_general(
                 blk, feat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -386,8 +415,18 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 tag = 0
 
             def pushleaf(j, lqv):
-                lqueue[p * LEAFQ + jnp.minimum(lqv, LEAFQ - 1)] = (
-                    tag | (b0 + j))
+                slot = jnp.minimum(lqv, LEAFQ - 1)
+                lqueue[p * LEAFQ + slot] = tag | (b0 + j)
+                if stream:
+                    # start the block's HBM->VMEM copy now; phase C waits
+                    # on it (FIFO) after the rest of the walk has hidden
+                    # its latency. Slot identity = queue position, so the
+                    # drain knows which ring entry / semaphore is whose.
+                    pltpu.make_async_copy(
+                        tris_ref.at[b0 + j],
+                        ring.at[p * LEAFQ + slot],
+                        dsem.at[p * LEAFQ + slot],
+                    ).start()
                 return lqv + 1
 
             lqx = jax.lax.fori_loop(0, nb, pushleaf, lqx)
@@ -510,6 +549,27 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                     return tuple(qs)
 
                 jax.lax.while_loop(drain_cond, drain_body, tuple(lqs))
+            elif stream:
+                # FIFO drain: consume oldest queue entries (= oldest DMAs)
+                # first, so each wait's latency has had the longest time
+                # to hide behind phase B and earlier drains
+                for p in range(P):
+                    def drain_cond(c3):
+                        return c3[0] > 0
+
+                    def drain_body(c3, p=p, best0=bests[p], qtot=lqs[p]):
+                        nleft = c3[0]
+                        base = qtot - nleft
+                        for j in range(MTD):
+                            valid = j < nleft
+                            qpos = jnp.minimum(base + j, LEAFQ - 1)
+                            bidx = lqueue[p * LEAFQ + qpos]
+                            mt_block(p, jnp.where(valid, bidx, 0), best0,
+                                     jnp.broadcast_to(valid, (1, LANES)),
+                                     slot=p * LEAFQ + qpos, valid=valid)
+                        return (jnp.maximum(nleft - MTD, 0),)
+
+                    jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
             else:
                 for p in range(P):
                     def drain_cond(c3):
@@ -941,7 +1001,8 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 interpret: bool, pops: int = None, ordered: bool = None,
                 n_inst: int = 0, packets: int = None, pipe: bool = None,
                 drain: int = None, profile: str = None,
-                flat_walk: bool = False, oct_order: bool = False):
+                flat_walk: bool = False, oct_order: bool = False,
+                stream: bool = False):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
     pipe = PIPE if pipe is None else pipe
@@ -949,13 +1010,18 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
     profile = PROFILE if profile is None else profile
     PACKETS = packets if packets is not None else globals()["PACKETS"]
     instanced = n_inst > 0
+    if stream:
+        assert not pipe and not FUSED_DRAIN and profile == "none", (
+            "streamed leaf blocks are implemented on the default "
+            "per-packet-drain kernel only")
     if pipe:
         kernel = _make_kernel_pipe(any_hit, PACKETS, pops, drain, instanced,
                                    flat_walk)
         leafq = PIPE_LEAFQ
     else:
         kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced,
-                              profile, mtd=drain, oct_order=oct_order)
+                              profile, mtd=drain, oct_order=oct_order,
+                              stream=stream)
         leafq = LEAFQ
     sr = 5 if instanced else 4
     pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
@@ -970,7 +1036,9 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         pl.BlockSpec((1, PACKETS, 8, LANES), lambda i: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes (N,16,8)
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # tri coeff blocks
+        # tri coeff blocks: VMEM-resident, or left in HBM and DMA-staged
+        # per enqueued block (stream mode)
+        pl.BlockSpec(memory_space=(pl.ANY if stream else pltpu.VMEM)),
     ]
     out_specs = [pkt, pkt, pkt, pkt]
     out_shape = [
@@ -984,21 +1052,33 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         out_specs.append(pkt)
         out_shape.append(jax.ShapeDtypeStruct((g, PACKETS, LANES), jnp.int32))
+    scratch_shapes = [
+        pltpu.VMEM((sr * PACKETS, LANES), jnp.float32),  # hit states
+        # +1: global dump slot absorbing non-taken predicated pushes
+        # (flat-walk pipe kernel); unused by the loop-walk kernels
+        pltpu.SMEM((PACKETS * STACK + 1,), jnp.int32),   # node stacks
+        pltpu.SMEM((PACKETS * leafq + 1,), jnp.int32),   # leaf queues
+        pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),   # MT ray features
+    ]
+    if stream:
+        # per-queue-slot staging ring + DMA semaphores (slot identity =
+        # queue position; each enqueue starts the copy, the FIFO drain
+        # waits on it)
+        scratch_shapes += [
+            pltpu.VMEM((PACKETS * leafq, 10, 2 * LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((PACKETS * leafq,)),
+        ]
     grid_spec = pl.GridSpec(
         grid=(g,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((sr * PACKETS, LANES), jnp.float32),  # hit states
-            # +1: global dump slot absorbing non-taken predicated pushes
-            # (flat-walk pipe kernel); unused by the loop-walk kernels
-            pltpu.SMEM((PACKETS * STACK + 1,), jnp.int32),   # node stacks
-            pltpu.SMEM((PACKETS * leafq + 1,), jnp.int32),   # leaf queues
-            pltpu.VMEM((PACKETS, 10, LANES), jnp.float32),   # MT ray features
-        ],
+        scratch_shapes=scratch_shapes,
     )
-    # resident structure (nodes pad to 16x128 lanes) + pipeline headroom
-    vmem_bytes = ((16 * n_nodes + 20 * n_rows + 10 * n_inst) * LANES * 4
+    # resident structure (nodes pad to 16x128 lanes) + pipeline headroom;
+    # stream mode keeps the blocks in HBM and pays only the staging ring
+    tri_rows = 0 if stream else 20 * n_rows
+    vmem_bytes = ((16 * n_nodes + tri_rows + 10 * n_inst) * LANES * 4
+                  + (PACKETS * leafq * 10 * 2 * LANES * 4 if stream else 0)
                   + (48 << 20))
     return pl.pallas_call(
         kernel,
@@ -1081,7 +1161,8 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        drain: int | None = None,
                        profile: str | None = None,
                        flat_walk: bool = False,
-                       worder=None):
+                       worder=None,
+                       stream: bool = False):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -1097,7 +1178,9 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     feature-transform matrices, accel.tlas) switches the kernel to the
     two-level TLAS/BLAS layout: leaf metas carry instance tags, the MT
     features are transformed into each instance's object space at leaf
-    drain, and hit records carry the instance id.
+    drain, and hit records carry the instance id. `stream` keeps the MT
+    blocks in HBM and DMA-stages each enqueued block into a VMEM ring
+    (beyond-VMEM scenes in ONE structure; only nodes must be resident).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1151,7 +1234,7 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
         oct_on = worder is not None and not pipe and not any_hit
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
                            pops, ordered, n_inst, pk, pipe, drain, profile,
-                           flat_walk, oct_on)
+                           flat_walk, oct_on, stream)
         flat = lambda x: x.reshape(g * pk * LANES)[:r]
         args = [wmeta] + ([worder] if oct_on else []) + [rays, wnodes_t,
                                                          wtris]

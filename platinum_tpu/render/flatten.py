@@ -509,7 +509,14 @@ def flatten_scene(
         # beyond-VMEM scenes split into resident partitions (accel.partition)
         from platinum_tpu.accel.wide import build_octant_orders, build_wide_bvh
 
-        if len(tri_geo) > settings.partition_tris:
+        stream = settings.stream == "on" or (
+            settings.stream == "auto"
+            and len(tri_geo) > settings.partition_tris)
+        if stream:
+            # beyond-VMEM via HBM leaf-block streaming: ONE structure,
+            # blocks DMA-staged at trace time (ops.pallas_trace stream)
+            bvh_arrays["wbvh_stream"] = True
+        if not stream and len(tri_geo) > settings.partition_tris:
             from platinum_tpu.accel.partition import partition_bvh
 
             parts = []
@@ -643,13 +650,17 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
                        for mi, _ in inst_mesh_mat))
     ibvh = None
     ibvh_parts = None
-    if projected > settings.partition_bytes:
+    inst_stream = settings.stream == "on" or (
+        settings.stream == "auto" and projected > settings.partition_bytes)
+    if projected > settings.partition_bytes and not inst_stream:
         from platinum_tpu.accel.tlas import partition_instanced
 
         ibvh_parts = partition_instanced(mesh_wides, mesh_tri_base,
                                          inst_mesh_mat,
                                          settings.partition_bytes)
     else:
+        # one structure; with inst_stream the mesh-library MT blocks stay
+        # in HBM and only the node rows must be VMEM-resident
         ibvh = build_instanced_bvh(mesh_wides, mesh_tri_base, inst_mesh_mat)
     if host_accel_out is not None:
         host_accel_out.update(ibvh=ibvh, ibvh_parts=ibvh_parts,
@@ -727,7 +738,8 @@ def _flatten_instanced(scene, camera_node_id, settings, instances,
         atlas_table=(jnp.asarray(atlas_table)
                      if atlas_table is not None else None),
         luts=_get_luts(),
-        **(_instanced_accel_arrays(ibvh, build_octant_orders)
+        **(dict(_instanced_accel_arrays(ibvh, build_octant_orders),
+                wbvh_stream=inst_stream)
            if ibvh is not None
            else dict(wbvh_parts=tuple(
                _instanced_part_arrays(part, gids, build_octant_orders)

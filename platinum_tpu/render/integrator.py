@@ -75,7 +75,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
             inst_feat=(flat.instances.feat
                        if flat.instances is not None else None),
-            worder=(flat.wbvh_order if settings.oct_order else None))
+            worder=(flat.wbvh_order if settings.oct_order else None),
+            stream=flat.wbvh_stream)
     if flat.instances is not None:
         raise ValueError(
             "instanced FlatScene requires the packet tracer "

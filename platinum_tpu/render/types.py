@@ -181,6 +181,11 @@ class FlatScene:
     # (nodes, tris, meta, slot) wide-BVH array tuples, traced sequentially
     # with carried best-t; None when the scene fits one resident structure
     wbvh_parts: tuple | None = None
+    # Stream mode (ops.pallas_trace stream=True): wbvh_tris stays in HBM
+    # and the kernel DMA-stages each enqueued leaf block into a VMEM ring
+    # — ONE structure for beyond-VMEM scenes (only nodes must be
+    # resident), instead of the multi-pass partitioned trace
+    wbvh_stream: bool = field(default=False, metadata=dict(static=True))
     # Texture atlas (None = no textures in scene). u8 storage encoding
     # when every source texture is 8-bit (4 B/texel; decoded per tap in
     # ops.texturing), f32 linear otherwise.
@@ -261,6 +266,12 @@ class RenderSettings:
                                    # TLAS/BLAS structure when it outgrows
                                    # this; ~the byte equivalent of
                                    # partition_tris for baked soups)
+    stream: str = "off"            # leaf-block HBM streaming (pallas_trace
+                                   # stream mode): "off" = resident blocks,
+                                   # beyond-VMEM scenes partition; "auto" =
+                                   # scenes over the partition budget trace
+                                   # as ONE structure with DMA-staged
+                                   # blocks; "on" = always stream (testing)
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property
