@@ -25,6 +25,10 @@ if [ "$MODE" = "full" ]; then
   timeout 7200 python -m pytest tests/ -q || exit 1
 fi
 
+echo "== 3c. streamed leaf blocks on chip (DMA kernel + A/B) =="
+timeout 3600 python -m pytest tests/test_stream.py -q || exit 1
+timeout 3600 python perf/bench_stream.py quick || exit 1
+
 echo "== 4b. mixture-pdf e2e cost A/B (COVERAGE round-4 queue item) =="
 timeout 3600 python perf/bench_mixture.py || exit 1
 
