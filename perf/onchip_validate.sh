@@ -29,6 +29,9 @@ echo "== 3c. streamed leaf blocks on chip (DMA kernel + A/B) =="
 timeout 3600 python -m pytest tests/test_stream.py -q || exit 1
 timeout 3600 python perf/bench_stream.py quick || exit 1
 
+echo "== 3d. MT-precision speed/RMSE A/B =="
+timeout 3600 python perf/bench_precision.py quick || exit 1
+
 echo "== 4b. mixture-pdf e2e cost A/B (COVERAGE round-4 queue item) =="
 timeout 3600 python perf/bench_mixture.py || exit 1
 

@@ -98,7 +98,7 @@ def _ctz16(x):
 def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                  instanced: bool = False, profile: str = "none",
                  mtd: int = None, oct_order: bool = False,
-                 stream: bool = False):
+                 stream: bool = False, mt_prec: str = "highest"):
     """Kernel over P interleaved 128-ray packets.
 
     Measured on v5e: any *serial* dependent chain through a load + compute
@@ -142,6 +142,14 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     K = pops
     SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
     MTD = MT_DRAIN if mtd is None else mtd
+    # MT block-matmul precision: fp32 on the MXU costs 6 bf16 passes at
+    # HIGHEST, 3 at HIGH, 1 at DEFAULT. HIGHEST is the oracle-exact
+    # default; the lower tiers are speed experiments (hit sets can drift
+    # on borderline grazes — perf/bench_precision.py measures both the
+    # speedup and the image RMSE on chip).
+    MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT}[mt_prec]
 
     def kernel(*refs):
         refs = list(refs)
@@ -313,7 +321,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 blk, feat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=MT_PRECISION,
             )                                            # (256, 128)
             det = out[0:64, :]
             udet = out[64:128, :]
@@ -1002,7 +1010,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                 n_inst: int = 0, packets: int = None, pipe: bool = None,
                 drain: int = None, profile: str = None,
                 flat_walk: bool = False, oct_order: bool = False,
-                stream: bool = False):
+                stream: bool = False, mt_prec: str = "highest"):
     pops = POPS if pops is None else pops
     ordered = ORDERED if ordered is None else ordered
     pipe = PIPE if pipe is None else pipe
@@ -1021,7 +1029,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
     else:
         kernel = _make_kernel(any_hit, PACKETS, pops, ordered, instanced,
                               profile, mtd=drain, oct_order=oct_order,
-                              stream=stream)
+                              stream=stream, mt_prec=mt_prec)
         leafq = LEAFQ
     sr = 5 if instanced else 4
     pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
@@ -1162,7 +1170,8 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
                        profile: str | None = None,
                        flat_walk: bool = False,
                        worder=None,
-                       stream: bool = False):
+                       stream: bool = False,
+                       mt_precision: str = "highest"):
     """(trace_closest, trace_any) over the packed wide BVH arrays.
 
     wnodes: (N, 128) f32 inner-node rows; wtris: (B, 10, 256) f32 MT
@@ -1234,7 +1243,7 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
         oct_on = worder is not None and not pipe and not any_hit
         call = _build_call(g, n_nodes, n_rows, any_hit, interpret,
                            pops, ordered, n_inst, pk, pipe, drain, profile,
-                           flat_walk, oct_on, stream)
+                           flat_walk, oct_on, stream, mt_precision)
         flat = lambda x: x.reshape(g * pk * LANES)[:r]
         args = [wmeta] + ([worder] if oct_on else []) + [rays, wnodes_t,
                                                          wtris]

@@ -76,7 +76,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
             inst_feat=(flat.instances.feat
                        if flat.instances is not None else None),
             worder=(flat.wbvh_order if settings.oct_order else None),
-            stream=flat.wbvh_stream)
+            stream=flat.wbvh_stream,
+            mt_precision=settings.mt_precision)
     if flat.instances is not None:
         raise ValueError(
             "instanced FlatScene requires the packet tracer "

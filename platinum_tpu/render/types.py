@@ -266,6 +266,13 @@ class RenderSettings:
                                    # TLAS/BLAS structure when it outgrows
                                    # this; ~the byte equivalent of
                                    # partition_tris for baked soups)
+    mt_precision: str = "highest"  # MT block-matmul MXU precision:
+                                   # "highest" (6-pass fp32, oracle-exact
+                                   # default) | "high" (3-pass) |
+                                   # "default" (1-pass bf16). Speed
+                                   # experiments only: lower tiers can
+                                   # drift borderline hits (see
+                                   # perf/bench_precision.py)
     stream: str = "off"            # leaf-block HBM streaming (pallas_trace
                                    # stream mode): "off" = resident blocks,
                                    # beyond-VMEM scenes partition; "auto" =
