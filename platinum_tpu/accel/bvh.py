@@ -74,10 +74,24 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         cmin = c.min(axis=0)
         cmax = c.max(axis=0)
         extent = cmax - cmin
-        axis = int(np.argmax(extent))
+        widest = int(np.argmax(extent))
 
+        def sweep(lo_b, hi_b, n_b):
+            cl = np.minimum.accumulate(lo_b, axis=0)
+            ch = np.maximum.accumulate(hi_b, axis=0)
+            cn = np.cumsum(n_b)
+            ext = np.maximum(ch - cl, 0.0)
+            area = 2 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
+                        + ext[:, 2] * ext[:, 0])
+            return cn, area
+
+        # binned SAH over all three axes (matches accel/cpp/bvh_builder);
+        # best (axis, bin) pair wins
         left_items = right_items = None
-        if extent[axis] > 1e-12:
+        best_cost = np.inf
+        for axis in range(3):
+            if extent[axis] <= 1e-12:
+                continue
             scale = _N_BINS * (1.0 - 1e-6) / extent[axis]
             bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
 
@@ -90,15 +104,6 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 bin_hi[b] = hi[sel].max(axis=0)
                 bin_n[b] = len(sel)
 
-            def sweep(lo_b, hi_b, n_b):
-                cl = np.minimum.accumulate(lo_b, axis=0)
-                ch = np.maximum.accumulate(hi_b, axis=0)
-                cn = np.cumsum(n_b)
-                ext = np.maximum(ch - cl, 0.0)
-                area = 2 * (ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2]
-                            + ext[:, 2] * ext[:, 0])
-                return cn, area
-
             nl, al = sweep(bin_lo, bin_hi, bin_n)
             nr_rev, ar_rev = sweep(bin_lo[::-1], bin_hi[::-1], bin_n[::-1])
             nr = nr_rev[::-1]
@@ -109,12 +114,13 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 np.inf,
             )
             best = int(np.argmin(cost))
-            if np.isfinite(cost[best]):
+            if np.isfinite(cost[best]) and cost[best] < best_cost:
+                best_cost = cost[best]
                 mask = bins <= best
                 left_items, right_items = items[mask], items[~mask]
 
         if left_items is None:
-            order = np.argsort(c[:, axis], kind="stable")
+            order = np.argsort(c[:, widest], kind="stable")
             half = len(items) // 2
             left_items, right_items = items[order[:half]], items[order[half:]]
 

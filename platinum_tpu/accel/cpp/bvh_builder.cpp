@@ -114,12 +114,18 @@ struct Builder {
       cmax = vmax(cmax, centroid[items[i]]);
     }
     float ext[3] = {cmax.x - cmin.x, cmax.y - cmin.y, cmax.z - cmin.z};
-    int axis = ext[1] > ext[0] ? 1 : 0;
-    if (ext[2] > ext[axis]) axis = 2;
+    int widest = ext[1] > ext[0] ? 1 : 0;
+    if (ext[2] > ext[widest]) widest = 2;
 
+    // binned SAH over ALL THREE axes (best (axis, bin) pair wins; the
+    // widest-axis-only variant measured ~4-7% more packet node visits
+    // on the bench scenes — see PERFORMANCE.md tree-quality note)
     int64_t mid = -1;
-    if (ext[axis] > 1e-12f) {
-      // binned SAH
+    double best_cost = std::numeric_limits<double>::infinity();
+    int best_axis = -1, best_bin = -1;
+    float best_scale = 0.f;
+    for (int axis = 0; axis < 3; axis++) {
+      if (ext[axis] <= 1e-12f) continue;
       float scale = kNumBins * (1.0f - 1e-6f) / ext[axis];
       AABB bin_box[kNumBins];
       int64_t bin_n[kNumBins] = {0};
@@ -147,30 +153,34 @@ struct Builder {
         area_r[b] = acc.half_area();
         n_r[b] = cnt;
       }
-      double best_cost = std::numeric_limits<double>::infinity();
-      int best = -1;
       for (int b = 0; b < kNumBins - 1; b++) {
         if (n_l[b] == 0 || n_r[b + 1] == 0) continue;
         double cost =
             (double)area_l[b] * n_l[b] + (double)area_r[b + 1] * n_r[b + 1];
         if (cost < best_cost) {
           best_cost = cost;
-          best = b;
+          best_axis = axis;
+          best_bin = b;
+          best_scale = scale;
         }
       }
-      if (best >= 0) {
-        auto it = std::partition(
-            items.begin() + first, items.begin() + first + count,
-            [&](int64_t t) {
-              int b = (int)((centroid[t][axis] - cmin[axis]) * scale);
-              return b <= best;
-            });
-        mid = it - items.begin();
-        if (mid == first || mid == first + count) mid = -1;
-      }
+    }
+    if (best_axis >= 0) {
+      int axis = best_axis;
+      float scale = best_scale;
+      int best = best_bin;
+      auto it = std::partition(
+          items.begin() + first, items.begin() + first + count,
+          [&](int64_t t) {
+            int b = (int)((centroid[t][axis] - cmin[axis]) * scale);
+            return b <= best;
+          });
+      mid = it - items.begin();
+      if (mid == first || mid == first + count) mid = -1;
     }
     if (mid < 0) {
-      // median fallback
+      // median fallback on the widest axis
+      int axis = widest;
       mid = first + count / 2;
       std::nth_element(items.begin() + first, items.begin() + mid,
                        items.begin() + first + count, [&](int64_t a, int64_t b) {
