@@ -314,7 +314,10 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 def _wait():
                     cp.wait()
 
-                blk = ring[slot]                        # (10, 256)
+                # ring entries are 16 rows (Mosaic requires DMA slice
+                # extents aligned to the 8-sublane tiling; 10 is not) —
+                # the MT matmul consumes the 10 real coefficient rows
+                blk = ring[slot, 0:10, :]               # (10, 256)
             else:
                 blk = tris_ref[block_idx]               # (10, 256)
             out = jax.lax.dot_general(
@@ -1072,8 +1075,12 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         # per-queue-slot staging ring + DMA semaphores (slot identity =
         # queue position; each enqueue starts the copy, the FIFO drain
         # waits on it)
+        # 16 rows per slot, not 10: Mosaic rejects HBM/VMEM DMA slices
+        # whose sublane extent is not a multiple of the (8,128) tiling,
+        # so the HBM blocks are padded to 16 rows (make_packet_tracer)
+        # and each ring slot matches
         scratch_shapes += [
-            pltpu.VMEM((PACKETS * leafq, 10, 2 * LANES), jnp.float32),
+            pltpu.VMEM((PACKETS * leafq, 16, 2 * LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((PACKETS * leafq,)),
         ]
     grid_spec = pl.GridSpec(
@@ -1086,7 +1093,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
     # stream mode keeps the blocks in HBM and pays only the staging ring
     tri_rows = 0 if stream else 20 * n_rows
     vmem_bytes = ((16 * n_nodes + tri_rows + 10 * n_inst) * LANES * 4
-                  + (PACKETS * leafq * 10 * 2 * LANES * 4 if stream else 0)
+                  + (PACKETS * leafq * 16 * 2 * LANES * 4 if stream else 0)
                   + (48 << 20))
     return pl.pallas_call(
         kernel,
@@ -1199,6 +1206,13 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
         worder = jnp.asarray(worder, jnp.int32)
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
+    if stream and wtris.shape[1] == 10:
+        # Mosaic DMA slices must be aligned to the (8,128) tiling, so the
+        # HBM-resident blocks carry 6 zero pad rows (16 = 2 sublane tiles);
+        # the kernel's MT matmul reads only rows 0:10 of each staged slot.
+        # Under jit this pad is one HBM copy per compiled step (hoisted and
+        # CSE'd across every wave in the step), ~0.3 ms/GB of blocks.
+        wtris = jnp.pad(wtris, ((0, 0), (0, 6), (0, 0)))
     wmeta = jnp.asarray(wmeta, jnp.int32)
     if wslot is not None:
         wslot = jnp.asarray(wslot, jnp.int32)
