@@ -215,9 +215,11 @@ def main():
 
     # 5b. Bistro-class studio loop (BASELINE config 5): a >=1M-triangle
     # variant of the colonnade, which exceeds the VMEM-resident limit and
-    # exercises the partitioned traversal (accel/partition.py) in the
-    # benched configuration. Runs LAST and failure-isolated: it is the
-    # heaviest config (flatten + 4 resident partitions per wave).
+    # exercises the beyond-VMEM path in the benched configuration — with
+    # stream="auto" (the measured-faster default, perf/bench_stream.py)
+    # that is ONE structure with HBM leaf blocks DMA-staged at trace time
+    # (ops/pallas_trace stream mode). Runs LAST and failure-isolated: it
+    # is the heaviest config.
     if not which or "bistro_class_studio" in which:
       try:
         from platinum_tpu.render.flatten import analyze_features, flatten_scene
@@ -242,7 +244,7 @@ def main():
 
         dt = _timeit(lambda i: bloop(i), max(2, n_iters // 3)) / 2
         r = {"config": "bistro_class_studio", "tris": n_tris,
-             "partitions": n_parts,
+             "partitions": n_parts, "stream": bool(flat.wbvh_stream),
              "ms_per_spp": round(dt * 1e3, 2),
              "spp_per_sec": round(1.0 / dt, 2)}
         results.append(r)

@@ -2,11 +2,12 @@
 
 The (10,256)x(10,128) Möller-Trumbore matmuls run at
 Precision.HIGHEST = 6 bf16 passes for fp32-exact results (the brute
-oracle is fp32). HIGH (3 passes) and DEFAULT (1 pass) trade exactness
-for MXU issue count. MT is ~50% of the incoherent superstep cost, so if
-the kernel is MXU-issue-bound there is up to ~25-40%% e2e at stake; if
-it is (as the round-3 campaign argues) dependent-chain-latency bound,
-the pass count should barely matter — this measures which.
+oracle is fp32). "high" (a hand-built bf16x3 decomposition — Mosaic
+lowers only HIGHEST/DEFAULT, so Ah·Bh + Ah·Bl + Al·Bh at 3 passes)
+and DEFAULT (1 pass) trade exactness for MXU issue count. MT is ~50%
+of the incoherent superstep cost, so if the kernel is MXU-issue-bound
+there is up to ~25-40%% e2e at stake; if it is dependent-chain-latency
+bound, the pass count should barely matter — this measures which.
 
 Reports, per precision tier, same-process: headline ms/spp and the
 image RMSE vs the HIGHEST render (equal sampler streams, so the RMSE is

@@ -107,7 +107,7 @@ def cmd_render(args):
         instancing=getattr(args, "instancing", "auto"),
         **({"partition_tris": args.partition_tris}
            if getattr(args, "partition_tris", None) else {}),
-        stream=getattr(args, "stream", "off") or "off",
+        stream=getattr(args, "stream", "auto") or "auto",
     )
     post = PostProcessOptions(
         exposure=ExposureOptions(exposure=args.exposure),
@@ -485,7 +485,7 @@ def build_parser():
                    help="per-partition triangle budget (default 350k; "
                         "lower it to force partitioning, e.g. for --mesh "
                         "geom=N)")
-    r.add_argument("--stream", choices=["off", "auto", "on"], default="off",
+    r.add_argument("--stream", choices=["off", "auto", "on"], default="auto",
                    help="HBM leaf-block streaming: beyond-VMEM scenes "
                         "trace as one structure with DMA-staged blocks "
                         "instead of partitioned passes")

@@ -143,13 +143,35 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
     MTD = MT_DRAIN if mtd is None else mtd
     # MT block-matmul precision: fp32 on the MXU costs 6 bf16 passes at
-    # HIGHEST, 3 at HIGH, 1 at DEFAULT. HIGHEST is the oracle-exact
-    # default; the lower tiers are speed experiments (hit sets can drift
-    # on borderline grazes — perf/bench_precision.py measures both the
-    # speedup and the image RMSE on chip).
+    # HIGHEST, 1 at DEFAULT. HIGHEST is the oracle-exact default; the
+    # lower tiers are speed experiments (hit sets can drift on borderline
+    # grazes — perf/bench_precision.py measures both the speedup and the
+    # image RMSE on chip). Mosaic lowers only HIGHEST/DEFAULT, so the
+    # 3-pass middle tier ("high") is hand-built: hi/lo bf16 splits and
+    # three 1-pass matmuls (A·B ≈ Ah·Bh + Ah·Bl + Al·Bh — the classic
+    # bf16x3 decomposition, error ~2^-22 relative).
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
-                    "high": jax.lax.Precision.HIGH,
+                    "high": None,
                     "default": jax.lax.Precision.DEFAULT}[mt_prec]
+    _MT_DN = (((0,), (0,)), ((), ()))
+
+    def mt_dot(blk, feat):
+        if mt_prec != "high":
+            return jax.lax.dot_general(
+                blk, feat, dimension_numbers=_MT_DN,
+                preferred_element_type=jnp.float32,
+                precision=MT_PRECISION)
+        bh = blk.astype(jnp.bfloat16)
+        fh = feat.astype(jnp.bfloat16)
+        bl = (blk - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fl = (feat - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=_MT_DN,
+                preferred_element_type=jnp.float32)
+
+        return d(bh, fh) + d(bh, fl) + d(bl, fh)
 
     def kernel(*refs):
         refs = list(refs)
@@ -320,12 +342,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 blk = ring[slot, 0:10, :]               # (10, 256)
             else:
                 blk = tris_ref[block_idx]               # (10, 256)
-            out = jax.lax.dot_general(
-                blk, feat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=MT_PRECISION,
-            )                                            # (256, 128)
+            out = mt_dot(blk, feat)                      # (256, 128)
             det = out[0:64, :]
             udet = out[64:128, :]
             vdet = out[128:192, :]

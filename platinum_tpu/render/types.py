@@ -268,17 +268,24 @@ class RenderSettings:
                                    # partition_tris for baked soups)
     mt_precision: str = "highest"  # MT block-matmul MXU precision:
                                    # "highest" (6-pass fp32, oracle-exact
-                                   # default) | "high" (3-pass) |
-                                   # "default" (1-pass bf16). Speed
-                                   # experiments only: lower tiers can
-                                   # drift borderline hits (see
-                                   # perf/bench_precision.py)
-    stream: str = "off"            # leaf-block HBM streaming (pallas_trace
-                                   # stream mode): "off" = resident blocks,
-                                   # beyond-VMEM scenes partition; "auto" =
-                                   # scenes over the partition budget trace
-                                   # as ONE structure with DMA-staged
-                                   # blocks; "on" = always stream (testing)
+                                   # default) | "high" (3-pass bf16x3,
+                                   # measured -13% e2e, ~2^-22 borderline
+                                   # winner drift only) | "default"
+                                   # (1-pass bf16 — image-breaking, RMSE
+                                   # 1.7; testing only). See
+                                   # perf/bench_precision.py, PERFORMANCE.md
+    stream: str = "auto"           # leaf-block HBM streaming (pallas_trace
+                                   # stream mode): "auto" (default) = scenes
+                                   # over the partition budget trace as ONE
+                                   # structure with DMA-staged blocks
+                                   # (measured 14% faster than partitioned
+                                   # re-walks on the 1M-tri Bistro config;
+                                   # perf/bench_stream.py), scenes that fit
+                                   # stay fully VMEM-resident; "off" =
+                                   # beyond-VMEM scenes partition instead
+                                   # (required for geometry sharding, which
+                                   # distributes partitions over the device
+                                   # mesh); "on" = always stream (testing)
     tile_rays: int = 1 << 18       # rays per trace tile (memory bound)
 
     @property

@@ -220,7 +220,7 @@ mesh = Mesh(np.asarray(jax.devices()), ("geom",))
 # --- baked-soup partitions (tiny budget forces several) ---------------
 scene, cam = make_colonnade_scene(columns=4, rows=2, sphere_res=(10, 14))
 s = RenderSettings(width=8, height=8, tracer="packet", partition_tris=800,
-                   instancing="off")
+                   instancing="off", stream="off")
 flat = flatten_scene(scene, cam, s, accel_min_tris=1)
 assert flat.wbvh_parts is not None and len(flat.wbvh_parts) >= 3
 
@@ -242,7 +242,7 @@ sys.path.insert(0, os.path.join(os.environ["REPO_DIR"], "tests"))
 from test_tlas import _instanced_scene
 scene2, cam2 = _instanced_scene(n_inst=24)
 s2 = RenderSettings(width=8, height=8, instancing="on", tracer="packet",
-                    partition_bytes=60_000)
+                    partition_bytes=60_000, stream="off")
 flat2 = flatten_scene(scene2, cam2, s2, accel_min_tris=1)
 assert flat2.wbvh_parts is not None and len(flat2.wbvh_parts) >= 2
 tc_seq2, _ = make_tracers(flat2, s2)
@@ -276,7 +276,8 @@ from platinum_tpu.parallel.geometry import make_geom_sharded_step
 scene, cam = make_colonnade_scene(columns=4, rows=2, sphere_res=(10, 14))
 settings = RenderSettings(width=16, height=16, spp=2, max_bounces=3,
                           sampler="pcg4d", tracer="packet",
-                          partition_tris=800, instancing="off")
+                          partition_tris=800, instancing="off",
+                          stream="off")
 flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
 assert flat.wbvh_parts is not None and len(flat.wbvh_parts) >= 2
 feats = analyze_features(flat)

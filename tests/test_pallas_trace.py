@@ -186,6 +186,37 @@ def test_packet_kernel_variants_match_brute(pops, ordered, pipe, oct):
     assert (occ_p == occ_b).mean() > 0.995
 
 
+def test_mt_precision_high_matches_oracle():
+    """The bf16x3 3-pass MT tier (mt_precision='high', Mosaic can't lower
+    Precision.HIGH so it's a hand-built Ah·Bh+Ah·Bl+Al·Bh decomposition)
+    must agree with the fp32-exact tier up to borderline winner drift:
+    same hit set and t within the ~2^-22 relative split error."""
+    v0, v1, v2 = _random_soup(t=800, seed=0)
+    wide, _ = _build(v0, v1, v2, leaf_cap=16)
+    args = (wide.nodes, wide.tri_blocks, wide.meta, wide.tri_of_slot)
+    tc_hi, ta_hi = make_packet_tracer(*args)
+    tc_h3, ta_h3 = make_packet_tracer(*args, mt_precision="high")
+    rng = np.random.default_rng(5)
+    r = 1024
+    o = jnp.asarray(rng.uniform(-6, 6, (r, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    r1 = jax.jit(lambda o, d: tc_hi(o, d, 1e-3, jnp.inf))(o, d)
+    r2 = jax.jit(lambda o, d: tc_h3(o, d, 1e-3, jnp.inf))(o, d)
+    h1, h2 = np.asarray(r1.hit), np.asarray(r2.hit)
+    assert (h1 == h2).mean() > 0.998
+    common = h1 & h2
+    assert common.sum() > 100  # the wave must actually exercise hits
+    same = common & (np.asarray(r1.tri) == np.asarray(r2.tri))
+    assert same.sum() / common.sum() > 0.99
+    np.testing.assert_allclose(np.asarray(r1.t)[same],
+                               np.asarray(r2.t)[same],
+                               rtol=1e-3, atol=3e-4)
+    occ1 = np.asarray(jax.jit(lambda o, d: ta_hi(o, d, 1e-3, 8.0))(o, d))
+    occ2 = np.asarray(jax.jit(lambda o, d: ta_h3(o, d, 1e-3, 8.0))(o, d))
+    assert (occ1 == occ2).mean() > 0.995
+
+
 def test_packet_active_mask_and_determinism():
     v0, v1, v2 = _random_soup(seed=11)
     wide, geom = _build(v0, v1, v2)

@@ -95,7 +95,7 @@ def test_partitioned_flatten_end_to_end():
                           instancing="off")
     imgs = {}
     for name, s in (("single", base),
-                    ("parts", replace(base, partition_tris=4))):
+                    ("parts", replace(base, partition_tris=4, stream="off"))):
         flat = flatten_scene(scene, cam, s, accel_min_tris=1)
         if name == "parts":
             assert flat.wbvh_parts is not None and len(flat.wbvh_parts) >= 2

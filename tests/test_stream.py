@@ -117,7 +117,7 @@ def test_stream_auto_replaces_partitioning():
     scene, cam = make_cornell_scene()
     base = RenderSettings(width=32, height=32, spp=2, max_bounces=3,
                           sampler="pcg4d", tracer="packet",
-                          instancing="off", partition_tris=4)
+                          instancing="off", partition_tris=4, stream="off")
     imgs = {}
     for name, s in (("parts", base), ("stream", replace(base, stream="auto"))):
         flat = flatten_scene(scene, cam, s, accel_min_tris=1)

@@ -201,7 +201,7 @@ def _partitioned_flats(scene, cam, budget=60_000):
 
     si = RenderSettings(width=48, height=48, instancing="on",
                         tracer="packet")
-    sp = dataclasses.replace(si, partition_bytes=budget)
+    sp = dataclasses.replace(si, partition_bytes=budget, stream="off")
     host1, host2 = {}, {}
     flat1 = flatten_scene(scene, cam, si, accel_min_tris=1,
                           host_accel_out=host1)
@@ -259,7 +259,8 @@ def test_partitioned_instanced_render_matches_single():
                                   sampler="pcg4d", kernel="mis",
                                   instancing="on", tracer="packet")
         if budget:
-            settings = dataclasses.replace(settings, partition_bytes=budget)
+            settings = dataclasses.replace(settings, partition_bytes=budget,
+                                           stream="off")
         flat = flatten_scene(scene, cam, settings, accel_min_tris=1)
         imgs[budget] = np.asarray(render(flat, settings,
                                          features=analyze_features(flat)))
@@ -278,7 +279,8 @@ def test_partitioned_transform_edit_refits_one_partition():
 
     scene, cam = _instanced_scene(n_inst=24, emissive=False, seed=3)
     settings = RenderSettings(width=8, height=8, spp=1, instancing="on",
-                              tracer="packet", partition_bytes=60_000)
+                              tracer="packet", partition_bytes=60_000,
+                              stream="off")
     r = Renderer(scene)
     r.start_render(cam, settings)
     assert r.flat.wbvh_parts is not None and len(r.flat.wbvh_parts) >= 2
