@@ -124,6 +124,16 @@ def main():
         width=512, height=512, spp=16, max_bounces=8, kernel="mis",
         sampler="pcg4d", tracer="packet", compact=True, instancing="off"))
 
+    # HEADLINE KNOB (clearly labeled, NOT the headline number): the same
+    # config with mt_precision="high" — the bf16x3 3-pass MT tier
+    # (measured -13%, borderline-hit drift only; perf/bench_precision.py,
+    # PERFORMANCE.md). Shows the production speed knob's value on the
+    # headline scene next to the oracle-exact default.
+    run("sponza_class_512_mt3_knob", make_colonnade_scene(), RenderSettings(
+        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+        sampler="pcg4d", tracer="packet", compact=True, instancing="off",
+        mt_precision="high"))
+
     # 1. Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
     # picks the dense brute intersector for 12 triangles — the honest best
     # algorithm at this size (the BVH path is timed by configs 2-5).

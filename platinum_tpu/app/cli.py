@@ -108,6 +108,7 @@ def cmd_render(args):
         **({"partition_tris": args.partition_tris}
            if getattr(args, "partition_tris", None) else {}),
         stream=getattr(args, "stream", "auto") or "auto",
+        mt_precision=getattr(args, "mt_precision", "highest") or "highest",
     )
     post = PostProcessOptions(
         exposure=ExposureOptions(exposure=args.exposure),
@@ -489,6 +490,12 @@ def build_parser():
                    help="HBM leaf-block streaming: beyond-VMEM scenes "
                         "trace as one structure with DMA-staged blocks "
                         "instead of partitioned passes")
+    r.add_argument("--mt-precision", choices=["highest", "high", "default"],
+                   default="highest", dest="mt_precision",
+                   help="MT intersection matmul precision: highest = "
+                        "fp32-exact (6 MXU passes); high = bf16x3 "
+                        "(3 passes, measured -13%% e2e, borderline-hit "
+                        "drift only); default = 1-pass bf16 (testing)")
     r.add_argument("--no-multiscatter", action="store_true")
     r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
     r.add_argument("--gmon-cap", type=float, default=1.0)

@@ -149,7 +149,8 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     # image RMSE on chip). Mosaic lowers only HIGHEST/DEFAULT, so the
     # 3-pass middle tier ("high") is hand-built: hi/lo bf16 splits and
     # three 1-pass matmuls (A·B ≈ Ah·Bh + Ah·Bl + Al·Bh — the classic
-    # bf16x3 decomposition, error ~2^-22 relative).
+    # bf16x3 decomposition; split error ~2^-16, amplified to ~1e-4..1e-3
+    # on t by the cancellation in the MT determinant differences).
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
                     "high": None,
                     "default": jax.lax.Precision.DEFAULT}[mt_prec]
