@@ -51,6 +51,12 @@ def _render_config(scene, cam, settings, features=None, accel_min_tris=1,
 
     flat = flatten_scene(scene, cam, settings, accel_min_tris=accel_min_tris)
     feats = features or analyze_features(flat)
+    if settings.compact_plan == "auto":
+        from platinum_tpu.render.autoplan import resolve_auto_plan
+
+        settings = resolve_auto_plan(flat, settings)
+        print(f"# measured compact_plan: {settings.compact_plan}",
+              flush=True)
 
     @jax.jit
     def stats(fl):
@@ -120,9 +126,15 @@ def main():
     # wavefront compaction stressed. instancing="off" is the measured-faster
     # configuration for the headline (the baked soup avoids the per-leaf
     # instance feature transform, ~10%); the instanced path is benched below.
+    # compact_plan="auto" compiles the compaction schedule to the scene's
+    # measured per-bounce live fractions (render/autoplan.py): -2%/-10%/
+    # -39% ms/spp vs the static plan on sponza/spheres/helmet — and the
+    # spheres/helmet configs never ran compaction at all before
+    # (dense->auto: -32%/-59%). perf/bench_autoplan.py, PERFORMANCE.md.
     head = run("sponza_class_512", make_colonnade_scene(), RenderSettings(
         width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True, instancing="off"))
+        sampler="pcg4d", tracer="packet", compact=True, instancing="off",
+        compact_plan="auto"))
 
     # HEADLINE KNOB (clearly labeled, NOT the headline number): the same
     # config with mt_precision="high" — the bf16x3 3-pass MT tier
@@ -171,12 +183,14 @@ def main():
 
     run("metalrough_spheres", spheres_via_gltf(), RenderSettings(
         width=512, height=512, spp=256, max_bounces=6, kernel="mis",
-        sampler="pcg4d", tracer="packet"))
+        sampler="pcg4d", tracer="packet", compact=True,
+        compact_plan="auto"))
 
     # 3. DamagedHelmet-class + HDR env importance sampling + MIS, 1080p
     run("helmet_env_1080p", make_helmet_scene(), RenderSettings(
         width=1920, height=1080, spp=16, max_bounces=6, kernel="mis",
-        sampler="pcg4d", tracer="packet"), spp_per_call=2)
+        sampler="pcg4d", tracer="packet", compact=True,
+        compact_plan="auto"), spp_per_call=2)
 
     # 5. Studio loop: progressive accumulate + tonemap + PNG export
     if not which or "studio_loop" in which:

@@ -104,6 +104,7 @@ def cmd_render(args):
         gmon_buckets=max(1, args.gmon), gmon_cap=args.gmon_cap,
         working_space=args.working_space, output_space=args.output_space,
         tracer=args.tracer, compact=getattr(args, "compact", False),
+        compact_plan=getattr(args, "compact_plan", None),
         instancing=getattr(args, "instancing", "auto"),
         **({"partition_tris": args.partition_tris}
            if getattr(args, "partition_tris", None) else {}),
@@ -201,6 +202,10 @@ def _render_on_mesh(args, scene, cam_id, settings, post):
     mesh = Mesh(np.asarray(devices[:n_need]).reshape(*axes.values()),
                 tuple(axes))
     flat = flatten_scene(scene, cam_id, settings)
+    if settings.compact_plan == "auto":
+        from platinum_tpu.render.autoplan import resolve_auto_plan
+
+        settings = resolve_auto_plan(flat, settings)
     feats = analyze_features(flat)
     gmon = bool(settings.flags & FLAG_GMON)
     t0 = time.perf_counter()
@@ -472,6 +477,11 @@ def build_parser():
                    default="auto")
     r.add_argument("--compact", action="store_true",
                    help="wavefront population-control compaction")
+    r.add_argument("--compact-plan", choices=["auto"], default=None,
+                   dest="compact_plan",
+                   help="with --compact: probe the scene's per-bounce "
+                        "live fractions on-device and compile the "
+                        "compaction schedule to them (render/autoplan.py)")
     r.add_argument("--watch", metavar="N", type=int, default=0,
                    help="progressive preview: rewrite the output every N spp")
     r.add_argument("--mesh", metavar="AXES", default=None,

@@ -619,10 +619,35 @@ def _compact_state(state, cap: int, sel_key):
 
 def _compaction_plan(n: int, settings: RenderSettings):
     """[(cap, bounce_limit)] segments: full size for the first bounces,
-    then halve every two bounces down to n/8 (multiples of 512 lanes)."""
+    then halve every two bounces down to n/8 (multiples of 512 lanes).
+
+    settings.compact_plan overrides the static default with an explicit
+    or measured schedule (render/autoplan.py); caps are clamped to the
+    actual lane count (tiled/sharded calls see fewer lanes than the plan
+    was built for) and equal-cap segments merged."""
+    if isinstance(settings.compact_plan, str):
+        raise ValueError(
+            "compact_plan='auto' must be resolved on the host before any "
+            "jitted render path — call autoplan.resolve_auto_plan(flat, "
+            "settings) (Renderer.start_render and integrator.render do)")
+    if settings.compact_plan is not None and not settings.compact:
+        raise ValueError("compact_plan requires settings.compact=True")
     if (not settings.compact or n < 8192
             or settings.max_bounces <= 3):
         return [(n, settings.max_bounces)]
+    if settings.compact_plan is not None:
+        from platinum_tpu.render import autoplan
+
+        clamped = tuple((min(int(c), n), int(b))
+                        for c, b in settings.compact_plan)
+        autoplan.validate_plan(clamped, n, settings.max_bounces)
+        merged = []
+        for cap, b in clamped:
+            if merged and merged[-1][0] == cap:
+                merged[-1] = (cap, b)
+            else:
+                merged.append((cap, b))
+        return merged
     plan = []
     cap, b = n, 2
     plan.append((n, 2))
@@ -805,6 +830,10 @@ def render(flat: FlatScene, settings: RenderSettings,
            spp_per_call: int = 8) -> jnp.ndarray:
     """Render settings.spp samples; returns (H, W, 3) linear radiance in the
     working colorspace."""
+    if settings.compact_plan == "auto":
+        from platinum_tpu.render import autoplan
+
+        settings = autoplan.resolve_auto_plan(flat, settings)
     accum = jnp.zeros((settings.num_pixels, 3))
     done = 0
     while done < settings.spp:

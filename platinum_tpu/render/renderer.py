@@ -60,6 +60,11 @@ class Renderer:
         from platinum_tpu.render.flatten import analyze_features
 
         self._features = analyze_features(self.flat)
+        if self.settings.compact_plan == "auto":
+            from platinum_tpu.render import autoplan
+
+            self.settings = autoplan.resolve_auto_plan(self.flat,
+                                                       self.settings)
         n_buckets = max(1, self.settings.gmon_buckets
                         if self.settings.flags & FLAG_GMON else 1)
         # python list of per-bucket device accumulators: updating one

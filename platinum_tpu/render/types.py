@@ -223,6 +223,17 @@ class RenderSettings:
                                    # more than once and the packet tracer
                                    # is in play)
     compact: bool = False          # wavefront population-control compaction
+    compact_plan: tuple | str | None = None
+                                   # compaction schedule override (needs
+                                   # compact=True): None = the static
+                                   # halve-every-2-bounces default;
+                                   # ((cap, bounce_limit), ...) = explicit
+                                   # segments; "auto" = probe the scene's
+                                   # per-bounce live fractions on-device
+                                   # and compile the schedule to them
+                                   # (render/autoplan.py — resolved by the
+                                   # host entry points, rejected by jitted
+                                   # paths if left unresolved)
     spp_batch: int = 1             # samples per wavefront: B>1 rides B
                                    # samples of every pixel in ONE wave
                                    # (B-times wider, 1/B launches per spp;
