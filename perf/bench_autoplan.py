@@ -47,8 +47,31 @@ CONFIGS = {
 }
 
 
+def headroom_ablation(name):
+    """Sweep the auto-plan headroom factor on one config: lower headroom
+    = smaller waves but more HT truncation variance (still unbiased)."""
+    from platinum_tpu.render import autoplan
+    from platinum_tpu.render.flatten import flatten_scene
+
+    make, base, spc = CONFIGS[name]
+    scene, cam = make()
+    s = replace(base, compact=True)
+    flat = flatten_scene(scene, cam, s)
+    live = autoplan.measure_live_fractions(flat, s)
+    print("# live:", " ".join(f"{v:.4f}" for v in live), flush=True)
+    n = s.num_pixels
+    for hr in (1.1, 1.5, 2.5):
+        plan = autoplan.plan_from_live(live, n, s.max_bounces, headroom=hr)
+        print(f"# headroom {hr}: {plan}", flush=True)
+        run(f"{name}_hr{hr}", (scene, cam),
+            replace(s, compact_plan=plan), spc)
+
+
 def main():
     which = sys.argv[1:] or list(CONFIGS)
+    if which[0] == "headroom":
+        headroom_ablation(which[1] if len(which) > 1 else "helmet")
+        return
     for name in which:
         make, base, spc = CONFIGS[name]
         sc = make()

@@ -27,7 +27,8 @@ def main():
                             ("sponza_512_b", 512, 512, 4)):
         s = RenderSettings(width=w, height=h, spp=16, max_bounces=8,
                            kernel="mis", sampler="pcg4d", tracer="packet",
-                           compact=True, instancing="off")
+                           compact=True, compact_plan="auto",
+                           instancing="off")
         dt, rays, _, _, _ = _render_config(scene, cam, s, n_iters=4,
                                            spp_per_call=spc)
         r = {"config": name, "ms_per_spp": round(dt * 1e3, 2),

@@ -109,6 +109,23 @@ def test_resolve_auto_plan_and_render():
     assert rel < 0.03, (img_a.mean(), img_d.mean(), resolved.compact_plan)
 
 
+def test_renderer_start_render_resolves_auto():
+    """Renderer.start_render must resolve "auto" before its jitted
+    render steps see the settings."""
+    from platinum_tpu.app.scenes import make_cornell_scene
+    from platinum_tpu.render.renderer import Renderer
+
+    scene, cam = make_cornell_scene()
+    r = Renderer(scene)
+    r.start_render(cam, RenderSettings(width=96, height=96, spp=2,
+                                       max_bounces=6, kernel="mis",
+                                       sampler="pcg4d", compact=True,
+                                       compact_plan="auto"))
+    assert isinstance(r.settings.compact_plan, tuple)
+    r.render()  # one progressive step runs under the resolved plan
+    assert r.completed_spp == 1
+
+
 def test_resolve_auto_noop_cases():
     """auto on a too-small wave or without compact resolves to None."""
     from platinum_tpu.app.scenes import make_cornell_scene
