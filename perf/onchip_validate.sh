@@ -35,6 +35,9 @@ timeout 3600 python perf/bench_precision.py quick || exit 1
 echo "== 4b. mixture-pdf e2e cost A/B (COVERAGE round-4 queue item) =="
 timeout 3600 python perf/bench_mixture.py || exit 1
 
+echo "== 4c. measured compaction schedules (autoplan) =="
+timeout 3600 python -m pytest tests/test_autoplan.py -q || exit 1
+
 echo "== 5. bench refresh =="
 timeout 5400 python bench.py || exit 1
 echo "ALL ON-CHIP VALIDATION GREEN"
