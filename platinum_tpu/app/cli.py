@@ -284,6 +284,9 @@ def cmd_preview_interactive(args):
                                            Properties-panel capability:
                                            roughness/metallic/ior/…;
                                            base_color/emission take r,g,b)
+      add KIND [NAME]                      add a primitive under the selection
+                                           (plane|cube|sphere|cornell — the
+                                           SceneExplorer Add-menu capability)
       import PATH                          glTF import under the selection
       savescene PATH                       write the scene as .ptscene
       frame                                write a studio frame
@@ -398,6 +401,19 @@ def cmd_preview_interactive(args):
                 studio.invalidate()
                 step_frame()
                 print(f"mat {mid} " + " ".join(sorted(kv)), flush=True)
+            elif cmd == "add":
+                # SceneExplorer "Add" menu parity (scene_explorer.cpp:50-73):
+                # a primitive node under the current selection
+                from platinum_tpu.core import primitives
+
+                kind = rest[0]
+                mesh = {"plane": primitives.plane, "cube": primitives.cube,
+                        "sphere": primitives.sphere,
+                        "cornell": primitives.cornell_box}[kind]()
+                name = rest[1] if len(rest) > 1 else kind
+                nid = store.create_primitive(name, mesh)
+                step_frame(scene_dirty=True)
+                print(f"added {kind} {nid}", flush=True)
             elif cmd == "import":
                 roots = store.import_gltf(rest[0])
                 step_frame(scene_dirty=True)

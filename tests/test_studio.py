@@ -64,6 +64,9 @@ def test_interactive_preview_session(tmp_path):
         "mat 1 roughness=0.25 metallic=1.0 base_color=0.9,0.6,0.2",
         "move 1 0.1 0.0 0.1",
         "mat 1 bogus_attr=1",     # must error, not crash the session
+        # SceneExplorer Add-menu capability: new primitive under the
+        # selection, visible to the next frame
+        "add cube crate",
         f"savescene {scn}",
         "render 2",
         f"save {save}",
@@ -80,8 +83,9 @@ def test_interactive_preview_session(tmp_path):
     assert "picked" in proc.stdout
     assert "mat " in proc.stdout and "moved 1" in proc.stdout
     assert "error:" in proc.stdout          # bogus_attr rejected in-session
+    assert "added cube" in proc.stdout
     assert "rendered 2 spp" in proc.stdout
-    assert proc.stdout.count("frame ") >= 7   # one per edit + progressive
+    assert proc.stdout.count("frame ") >= 8   # one per edit + progressive
     assert "bye" in proc.stdout
     assert "scene saved" in proc.stdout
     assert os.path.exists(out) and os.path.exists(save)
