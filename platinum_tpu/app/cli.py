@@ -467,13 +467,30 @@ def cmd_info(args):
     scene, cam_id = _load_scene(args.scene)
     insts = scene.get_instances()
     tris = sum(i.mesh.num_triangles for i in insts)
-    print(json.dumps({
+    out = {
         "nodes": scene.node_count,
         "instances": len(insts),
         "triangles": tris,
         "cameras": len(scene.get_cameras()),
         "materials": len(scene.assets_of_type(type(scene.default_material))),
-    }, indent=2))
+    }
+    if getattr(args, "assets", False):
+        # AssetManager capability (asset_manager.cpp grid browser): every
+        # asset with type, refcount, retained flag and a type-specific
+        # size summary
+        rows = []
+        for aid, data, name, refs, retained in scene.all_assets():
+            row = {"id": aid, "type": type(data).__name__,
+                   "name": name, "refs": refs, "retained": retained}
+            if hasattr(data, "num_triangles"):
+                row["triangles"] = int(data.num_triangles)
+            elif hasattr(data, "width"):
+                row["size"] = f"{data.width}x{data.height}"
+                row["format"] = getattr(getattr(data, "format", None),
+                                        "name", None)
+            rows.append(row)
+        out["assets"] = sorted(rows, key=lambda r: r["id"])
+    print(json.dumps(out, indent=2))
 
 
 def build_parser():
@@ -555,6 +572,9 @@ def build_parser():
 
     i = sub.add_parser("info", help="inspect a scene")
     i.add_argument("scene")
+    i.add_argument("--assets", action="store_true",
+                   help="list every asset (type, name, refcount, retained, "
+                        "size) — the AssetManager browser capability")
     i.set_defaults(func=cmd_info)
     return p
 

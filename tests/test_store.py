@@ -145,3 +145,21 @@ def test_hdr_roundtrip_and_rle(tmp_path):
     dec = read_hdr(p2)
     np.testing.assert_allclose(dec[0], np.tile([1.0, 0.5, 0.25], (w, 1)),
                                rtol=0.01)
+
+
+def test_cli_info_assets_listing(capsys):
+    """`info --assets` surfaces the AssetManager browser capability
+    (asset_manager.cpp): every asset with type/name/refcount/retained."""
+    import json
+    from types import SimpleNamespace
+
+    from platinum_tpu.app.cli import cmd_info
+
+    cmd_info(SimpleNamespace(scene="cornell", assets=True))
+    out = json.loads(capsys.readouterr().out)
+    assets = out["assets"]
+    types = {a["type"] for a in assets}
+    assert "Mesh" in types and "Material" in types
+    mesh_rows = [a for a in assets if a["type"] == "Mesh"]
+    assert mesh_rows[0]["triangles"] == 12
+    assert all({"id", "name", "refs", "retained"} <= set(a) for a in assets)
