@@ -284,6 +284,13 @@ def cmd_preview_interactive(args):
                                            Properties-panel capability:
                                            roughness/metallic/ior/…;
                                            base_color/emission take r,g,b)
+      env PATH [S] | env color R,G,B [S]   set the environment map / constant
+                                           color with strength S (the
+                                           Properties root-node capability)
+      cam key=value ...                    edit the render camera
+                                           (focal_length/aperture/
+                                           focus_distance/… — Properties
+                                           camera editor), applied at render
       add KIND [NAME]                      add a primitive under the selection
                                            (plane|cube|sphere|cornell — the
                                            SceneExplorer Add-menu capability)
@@ -316,6 +323,7 @@ def cmd_preview_interactive(args):
     studio.camera_to(m[:3, 3], m[:3, 3] - m[:3, 2] * 10.0)
     spp = 16
     last = None
+    cam_overrides: dict = {}
 
     def emit(img):
         nonlocal last
@@ -401,6 +409,36 @@ def cmd_preview_interactive(args):
                 studio.invalidate()
                 step_frame()
                 print(f"mat {mid} " + " ".join(sorted(kv)), flush=True)
+            elif cmd == "env":
+                # Properties-panel root-node capability: select/replace the
+                # environment map (properties.cpp environment select)
+                if rest[0] == "color":
+                    rgb = tuple(float(v) for v in rest[1].split(","))
+                    scene.environment.set_texture(None)
+                    scene.environment.constant_color = rgb
+                    strength = rest[2:3]
+                else:
+                    tid = store.import_texture(rest[0], hdr=True)
+                    scene.environment.set_texture(
+                        tid, scene.asset(tid).as_float_rgba())
+                    strength = rest[1:2]
+                if strength:
+                    scene.environment.strength = float(strength[0])
+                print(f"env {rest[0]}", flush=True)
+            elif cmd == "cam":
+                # Properties-panel camera editor capability: persistent
+                # overrides applied to the studio camera at render time
+                import dataclasses
+
+                from platinum_tpu.core.camera import Camera
+
+                names = {f.name for f in dataclasses.fields(Camera)}
+                for p in rest:
+                    k, v = p.split("=", 1)
+                    if k not in names:
+                        raise KeyError(f"unknown camera attribute {k!r}")
+                    cam_overrides[k] = float(v)
+                print("cam " + " ".join(sorted(cam_overrides)), flush=True)
             elif cmd == "add":
                 # SceneExplorer "Add" menu parity (scene_explorer.cpp:50-73):
                 # a primitive node under the current selection
@@ -433,6 +471,9 @@ def cmd_preview_interactive(args):
             elif cmd == "render":
                 n = int(rest[0]) if rest else spp
                 cam_node = studio.camera.attach(scene)
+                for k, v in cam_overrides.items():
+                    setattr(scene.node(cam_node).camera, k,
+                            int(v) if k == "aperture_blades" else v)
                 renderer = Renderer(scene)
                 renderer.start_render(cam_node, RenderSettings(
                     width=w, height=h, spp=n, max_bounces=8,

@@ -51,9 +51,16 @@ def test_interactive_preview_session(tmp_path):
     import subprocess
     import sys
 
+    import numpy as np
+
+    from platinum_tpu.io.exr import write_exr
+
     out = str(tmp_path / "view.png")
     save = str(tmp_path / "kept.png")
     scn = str(tmp_path / "session.ptscene")
+    sky = str(tmp_path / "sky.exr")
+    grad = np.linspace(0.2, 2.0, 8, dtype=np.float32)
+    write_exr(sky, np.broadcast_to(grad[None, :, None], (4, 8, 3)))
     script = "\n".join([
         "pick 16 16",
         "orbit 0.4 0.1",
@@ -67,6 +74,12 @@ def test_interactive_preview_session(tmp_path):
         # SceneExplorer Add-menu capability: new primitive under the
         # selection, visible to the next frame
         "add cube crate",
+        # Properties root-node + camera-editor capabilities: swap the
+        # environment map (alias table rebuilt) and edit camera physics
+        f"env {sky} 1.5",
+        "env color 0.2,0.3,0.4 2.0",
+        "cam focal_length=80 aperture=2.8 focus_distance=12",
+        "cam bogus=1",            # unknown camera attr must error
         f"savescene {scn}",
         "render 2",
         f"save {save}",
@@ -84,6 +97,9 @@ def test_interactive_preview_session(tmp_path):
     assert "mat " in proc.stdout and "moved 1" in proc.stdout
     assert "error:" in proc.stdout          # bogus_attr rejected in-session
     assert "added cube" in proc.stdout
+    assert "env color" in proc.stdout and f"env {sky}" in proc.stdout
+    assert "cam aperture focal_length focus_distance" in proc.stdout
+    assert proc.stdout.count("error:") >= 2   # cam bogus=1 rejected too
     assert "rendered 2 spp" in proc.stdout
     assert proc.stdout.count("frame ") >= 8   # one per edit + progressive
     assert "bye" in proc.stdout
