@@ -281,13 +281,19 @@ def main():
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump({"chip": chip, "results": results}, f, indent=1)
 
-    if head is None and results:
-        head = results[-1]
+    label = "Sponza-class 271k tris, 512x512, MIS, 8 bounces"
     if head is None:
-        head = {"mrays_per_sec": 0.0}
+        # headline config failed/skipped: fall back to the last config that
+        # HAS a ray rate, and say so in the label rather than mislabeling it
+        with_rays = [r for r in results if "mrays_per_sec" in r]
+        if with_rays:
+            head = with_rays[-1]
+            label = f"FALLBACK {head['config']} (headline config missing)"
+        else:
+            head = {"mrays_per_sec": 0.0}
+            label += " — NO CONFIG COMPLETED"
     print(json.dumps({
-        "metric": f"Mrays/sec/chip (Sponza-class 271k tris, 512x512, MIS, "
-                  f"8 bounces, {chip})",
+        "metric": f"Mrays/sec/chip ({label}, {chip})",
         "value": head["mrays_per_sec"],
         "unit": "Mrays/s",
         "vs_baseline": round(head["mrays_per_sec"] / 100.0, 4),

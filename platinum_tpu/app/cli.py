@@ -324,6 +324,7 @@ def cmd_preview_interactive(args):
     spp = 16
     last = None
     cam_overrides: dict = {}
+    env_owned_tid = None  # texture asset imported by this session's `env`
 
     def emit(img):
         nonlocal last
@@ -412,32 +413,51 @@ def cmd_preview_interactive(args):
             elif cmd == "env":
                 # Properties-panel root-node capability: select/replace the
                 # environment map (properties.cpp environment select)
+                env = scene.environment
                 if rest[0] == "color":
                     rgb = tuple(float(v) for v in rest[1].split(","))
-                    scene.environment.set_texture(None)
-                    scene.environment.constant_color = rgb
+                    if len(rgb) != 3:
+                        raise ValueError(
+                            f"env color takes exactly R,G,B "
+                            f"(got {len(rgb)} components)")
+                    env.set_texture(None)
+                    env.constant_color = rgb
+                    new_tid = None
                     strength = rest[2:3]
                 else:
-                    tid = store.import_texture(rest[0], hdr=True)
-                    scene.environment.set_texture(
-                        tid, scene.asset(tid).as_float_rgba())
+                    # hdr inferred from the extension: .exr/.hdr load as
+                    # linear float, LDR images decode sRGB→linear
+                    new_tid = store.import_texture(rest[0])
+                    scene.retain_asset(new_tid)
+                    env.set_texture(
+                        new_tid, scene.asset(new_tid).as_float_rgba())
                     strength = rest[1:2]
+                # release the previously imported map so replaced env
+                # textures don't accumulate in the scene / saved .ptscene
+                if env_owned_tid is not None and env_owned_tid != new_tid:
+                    scene.release_asset(env_owned_tid)
+                env_owned_tid = new_tid
                 if strength:
-                    scene.environment.strength = float(strength[0])
+                    env.strength = float(strength[0])
                 print(f"env {rest[0]}", flush=True)
             elif cmd == "cam":
                 # Properties-panel camera editor capability: persistent
                 # overrides applied to the studio camera at render time
-                import dataclasses
-
                 from platinum_tpu.core.camera import Camera
 
-                names = {f.name for f in dataclasses.fields(Camera)}
+                # Scalar numeric fields only (sensor_size is a tuple; a
+                # float there would break flatten at render time). Values
+                # take the field's own type, applied all-or-nothing.
+                probe = Camera()
+                pending = {}
                 for p in rest:
                     k, v = p.split("=", 1)
-                    if k not in names:
-                        raise KeyError(f"unknown camera attribute {k!r}")
-                    cam_overrides[k] = float(v)
+                    cur = getattr(probe, k, None)
+                    if not isinstance(cur, (int, float)):
+                        raise KeyError(
+                            f"unknown or non-scalar camera attribute {k!r}")
+                    pending[k] = type(cur)(float(v))
+                cam_overrides.update(pending)
                 print("cam " + " ".join(sorted(cam_overrides)), flush=True)
             elif cmd == "add":
                 # SceneExplorer "Add" menu parity (scene_explorer.cpp:50-73):
@@ -472,8 +492,7 @@ def cmd_preview_interactive(args):
                 n = int(rest[0]) if rest else spp
                 cam_node = studio.camera.attach(scene)
                 for k, v in cam_overrides.items():
-                    setattr(scene.node(cam_node).camera, k,
-                            int(v) if k == "aperture_blades" else v)
+                    setattr(scene.node(cam_node).camera, k, v)
                 renderer = Renderer(scene)
                 renderer.start_render(cam_node, RenderSettings(
                     width=w, height=h, spp=n, max_bounces=8,
@@ -492,7 +511,7 @@ def cmd_preview_interactive(args):
             else:
                 print(f"unknown command: {cmd}", flush=True)
         except (ValueError, IndexError, KeyError, OSError,
-                AttributeError) as e:
+                AttributeError, TypeError) as e:
             print(f"error: {e}", flush=True)
     print("bye", flush=True)
 

@@ -77,9 +77,11 @@ def test_interactive_preview_session(tmp_path):
         # Properties root-node + camera-editor capabilities: swap the
         # environment map (alias table rebuilt) and edit camera physics
         f"env {sky} 1.5",
+        "env color 0.2,0.3",      # wrong component count must error
         "env color 0.2,0.3,0.4 2.0",
         "cam focal_length=80 aperture=2.8 focus_distance=12",
         "cam bogus=1",            # unknown camera attr must error
+        "cam sensor_size=36",     # tuple-typed field must error, not crash
         f"savescene {scn}",
         "render 2",
         f"save {save}",
@@ -99,7 +101,15 @@ def test_interactive_preview_session(tmp_path):
     assert "added cube" in proc.stdout
     assert "env color" in proc.stdout and f"env {sky}" in proc.stdout
     assert "cam aperture focal_length focus_distance" in proc.stdout
-    assert proc.stdout.count("error:") >= 2   # cam bogus=1 rejected too
+    # bogus_attr, short env color, cam bogus, cam sensor_size all rejected
+    assert proc.stdout.count("error:") >= 4
+    # replaced env textures are released, not left in the saved scene
+    from platinum_tpu.core.texture import Texture
+    from platinum_tpu.io.sceneio import load_scene
+
+    saved = load_scene(scn)
+    assert not any(isinstance(data, Texture)
+                   for _, data, *_ in saved.all_assets())
     assert "rendered 2 spp" in proc.stdout
     assert proc.stdout.count("frame ") >= 8   # one per edit + progressive
     assert "bye" in proc.stdout
