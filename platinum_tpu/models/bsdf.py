@@ -223,19 +223,51 @@ def _orient_cosines(wo_z, wi_z):
     return wo_z * s, wi_z * s
 
 
+def _aniso_amount(ctx, features):
+    """Per-lane |anisotropy| for energy-table lookups (0 when the material
+    is not flagged anisotropic; x/y-swap symmetry makes E̅ a function of
+    |aniso| only), or None when the scene has no aniso materials."""
+    if ctx is None or features is None or "aniso" not in features:
+        return None
+    return jnp.abs(jnp.where((ctx.flags & MAT_ANISOTROPIC) != 0,
+                             ctx.anisotropy, 0.0))
+
+
+def _sample_E(luts, cos, rough, an):
+    """Single-scatter GGX albedo E(cosθ, rough), anisotropy-corrected per
+    lane when `an` (|aniso|) is given: both this framework (pre-round-3)
+    and the reference look E up at the scalar roughness — the
+    geometric-mean alpha — which OVERestimates E under anisotropy so the
+    (1−E) multiscatter terms under-fill (measured −1.8% on an aniso=0.9
+    metal furnace). The azimuth-averaged E_aniso table closes it; iso
+    lanes (an == 0) keep the full-resolution 2-D table exactly."""
+    e = luts_mod.sample2d(luts.E, cos, rough)
+    if an is None:
+        return e
+    return jnp.where(an > 0.0,
+                     luts_mod.sample3d(luts.E_aniso, cos, rough, an), e)
+
+
 def _conductor_multiscatter(luts, rough, wo_z, wi_z, f_avg,
                             ctx=None, features=None):
     """Kulla-Conty multiple-scattering lobe; f_avg may be (R,) or (R,3).
-    Double-sided (see _orient_cosines)."""
+    Double-sided (see _orient_cosines). Anisotropy-corrected energy
+    tables (see _sample_E); the rows path bakes the correction in at
+    flatten time (per-material anisotropy is a constant there)."""
     wo_z, wi_z = _orient_cosines(wo_z, wi_z)
     if ctx is not None and features is not None and _use_rows(ctx, features):
         e_wo = _energy_row(ctx, wo_z)[..., 0]
         e_wi = _energy_row(ctx, wi_z)[..., 0]
         e_avg = ctx.energy_avg_row[..., 0]
     else:
-        e_wo = luts_mod.sample2d(luts.E, wo_z, rough)
-        e_wi = luts_mod.sample2d(luts.E, wi_z, rough)
+        an = _aniso_amount(ctx, features)
+        e_wo = _sample_E(luts, wo_z, rough, an)
+        e_wi = _sample_E(luts, wi_z, rough, an)
         e_avg = luts_mod.sample1d(luts.E_avg, rough)
+        if an is not None:
+            e_avg = jnp.where(
+                an > 0.0,
+                luts_mod.sample2d(luts.E_avg_aniso, an, rough), e_avg)
     brdf_ms = (1.0 - e_wo) * (1.0 - e_wi) / (np.pi * jnp.maximum(1.0 - e_avg, 1e-5))
     if f_avg.ndim == rough.ndim + 1:
         e_avg = e_avg[..., None]
@@ -271,8 +303,14 @@ def _transparent_multiscatter(luts, rough, wo_z, ior, ctx=None, features=None,
         e_out = luts_mod.sample3d(luts.E_trans_out, jnp.abs(wo_z), rough, param_out)
         e_wo = jnp.where(into, e_in, e_out)
         if thin is not None:
-            e_wo = jnp.where(thin, luts_mod.sample2d(luts.E, jnp.abs(wo_z), rough),
-                             e_wo)
+            # thin 1/E uses the exact GGX albedo — aniso-corrected like
+            # _sample_E (the thick E_trans tables stay isotropic: an
+            # aniso axis would make them 4-D; documented limitation)
+            e_wo = jnp.where(
+                thin,
+                _sample_E(luts, jnp.abs(wo_z), rough,
+                          _aniso_amount(ctx, features)),
+                e_wo)
     return 1.0 / jnp.maximum(e_wo, 1e-3)
 
 
@@ -344,7 +382,11 @@ def _opaque_dielectric_factor(luts, ctx, wo_z, f_avg, features=None):
         e_ms_wo = row[..., 1]
     else:
         p = _ior_param(ctx.ior)
-        e_wo = luts_mod.sample2d(luts.E, wo_z, ctx.roughness)
+        # E aniso-corrected (see _sample_E); E_ms stays isotropic — an
+        # aniso axis would make it 4-D, and the residual on aniso
+        # dielectrics is small (f_avg ≈ 0.04 scales the whole term)
+        e_wo = _sample_E(luts, wo_z, ctx.roughness,
+                         _aniso_amount(ctx, features))
         e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
     fresnel_ms = f_avg * f_avg * e_wo / jnp.maximum(1.0 - f_avg * (1.0 - e_wo), 1e-5)
     return jnp.clip(f_avg * e_ms_wo + fresnel_ms * (1.0 - e_ms_wo), 0.0, 0.999)

@@ -15,6 +15,10 @@ LUT set (parametrization: x = cosθ, y = roughness, z = iorParam = (η−1)/η f
   E_trans_in   (32, 32, 32)   transparent dielectric albedo, entering (η>1)
   E_trans_out  (32, 32, 32)   transparent dielectric albedo, exiting (η<1)
   E_trans_in_avg / E_trans_out_avg (32, 32)
+  E_aniso      (32, 32, 32)   azimuth-averaged ANISOTROPIC albedo
+                              [z=|aniso|, y=rough, x=cosθ] — net-new vs
+                              the reference (see Luts field comment)
+  E_avg_aniso  (32, 32)       its cosine-weighted average [y=rough, x=aniso]
 """
 
 from __future__ import annotations
@@ -40,7 +44,25 @@ LUT_BUNDLE_REF = os.path.join(RESOURCE_DIR, "ggx_luts_ref.npz")
 LUT_NAMES = (
     "E", "E_avg", "E_ms", "E_ms_avg",
     "E_trans_in", "E_trans_out", "E_trans_in_avg", "E_trans_out_avg",
+    "E_aniso", "E_avg_aniso",
 )
+
+
+def _bundle_arrays(data) -> dict:
+    """Bundle .npz -> {name: np.float32 array} with back-compat fallbacks.
+
+    Bundles baked before the anisotropic energy tables existed (incl. the
+    reference-derived bundle — the reference's LUT set is isotropic-only)
+    lack E_aniso/E_avg_aniso. The fallback is a singleton-axis broadcast
+    of the isotropic tables: sample3d/sample2d clamp a size-1 axis to its
+    only slice, so lookups reproduce the old isotropic behavior exactly."""
+    out = {k: np.asarray(data[k], np.float32)
+           for k in LUT_NAMES if k in data}
+    if "E_aniso" not in out:
+        out["E_aniso"] = out["E"][None]
+    if "E_avg_aniso" not in out:
+        out["E_avg_aniso"] = out["E_avg"][:, None]
+    return out
 
 
 @jax.tree_util.register_dataclass
@@ -54,6 +76,18 @@ class Luts:
     E_trans_out: jnp.ndarray
     E_trans_in_avg: jnp.ndarray
     E_trans_out_avg: jnp.ndarray
+    # Azimuth-averaged ANISOTROPIC single-scatter albedo
+    # E̅(aniso, rough, cosθ) (32³) + its cosine-weighted average
+    # E̅_avg(rough, aniso) (32²) — net-new vs the reference, whose LUT set
+    # is isotropic-only: both implementations' conductor multiscatter
+    # used E at the scalar roughness (= geometric-mean alpha), which
+    # OVERestimates E under anisotropy (MC: 0.90 vs true 0.77 at μ=0.9,
+    # r=0.5, aniso=0.9) so (1−E) under-fills — measured −1.8% on an
+    # aniso=0.9 metal furnace. The true albedo is nearly azimuth-flat,
+    # so a φ-averaged table indexed by |aniso| (x/y-swap symmetry)
+    # closes it. Baked by tools/lut_baker.bake_E_aniso.
+    E_aniso: jnp.ndarray
+    E_avg_aniso: jnp.ndarray
     # Mean clearcoat Fresnel over the visible NDF, F̄(wo) =
     # ∫ Dv(wm|wo)·F(wo·wm, 1.5) dwm, (32 rough, 32 cos). This is the
     # EXACT marginal probability (÷ clearcoat) that sample() picks the
@@ -170,9 +204,9 @@ def _coat_tables() -> tuple:
 def load_luts(path: str | None = None) -> Luts:
     path = path or LUT_BUNDLE
     if path not in _CACHED:
-        data = np.load(path)
+        arrays = _bundle_arrays(np.load(path))
         _CACHED[path] = Luts(**{
-            k: jnp.asarray(data[k], jnp.float32) for k in LUT_NAMES
+            k: jnp.asarray(v, jnp.float32) for k, v in arrays.items()
         }, F_coat_avg=jnp.asarray(_coat_tables()[0]),
            E_F_coat=jnp.asarray(_coat_tables()[1]))
     return _CACHED[path]
@@ -190,6 +224,8 @@ def placeholder_luts() -> Luts:
         E_trans_out=jnp.ones((32, 32, 32)),
         E_trans_in_avg=jnp.ones((32, 32)),
         E_trans_out_avg=jnp.ones((32, 32)),
+        E_aniso=jnp.ones((1, 128, 128)),
+        E_avg_aniso=jnp.ones((128, 1)),
         F_coat_avg=jnp.asarray(_coat_tables()[0]),
         E_F_coat=jnp.asarray(_coat_tables()[1]),
     )
@@ -330,8 +366,7 @@ def get_host_luts():
     path = _bundle_path()
     if path not in _HOST_CACHE:
         if path:
-            data = np.load(path)
-            arrays = {k: np.asarray(data[k], np.float32) for k in LUT_NAMES}
+            arrays = _bundle_arrays(np.load(path))
         else:
             ph = placeholder_luts()
             import jax

@@ -187,7 +187,14 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
     for row in range(n_mat):
         rg, io = float(rough[row]), float(ior[row])
         iorp = (io - 1.0) / max(io, 1e-6)
-        energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
+        an = abs(float(aniso[row])) if (flags[row] & MAT_ANISOTROPIC) else 0.0
+        if an > 0.0:
+            # anisotropy-corrected single-scatter albedo (models/bsdf
+            # _sample_E rationale); per-material aniso is a constant, so
+            # the gather-free rows bake the correction in for free
+            energy[row, :, 0] = _lm.sample3d_np(_l.E_aniso, cos_grid, rg, an)
+        else:
+            energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
         energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
         energy[row, :, 2] = _lm.sample3d_np(_l.E_trans_in, cos_grid, rg, iorp)
         energy[row, :, 3] = _lm.sample3d_np(
@@ -198,7 +205,8 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
         cr = float(coat_rough[row])
         energy[row, :, 4] = _lm.sample2d_np(_l.F_coat_avg, cos_grid, cr)
         energy[row, :, 5] = _lm.sample2d_np(_l.E_F_coat, cos_grid, cr)
-        energy_avg[row, 0] = _lm.sample1d_np(_l.E_avg, rg)
+        energy_avg[row, 0] = (_lm.sample2d_np(_l.E_avg_aniso, an, rg)
+                              if an > 0.0 else _lm.sample1d_np(_l.E_avg, rg))
         energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
 
     mat_packed = np.zeros((n_mat, 16), F)

@@ -164,6 +164,59 @@ def bake_E_avg(size=128, spp=16384):
     return _mc(texel, (size,), spp)
 
 
+def bake_E_aniso(size=32, spp=8192):
+    """Azimuth-averaged directional albedo of ANISOTROPIC GGX:
+    E̅(aniso, rough, cosθ), z = anisotropy (alpha stretched by
+    aspect = sqrt(1 − 0.9·aniso), ggx.alpha_from_roughness).
+
+    Net-new vs the reference (its LUT set is isotropic-only and its
+    conductor multiscatter ignores anisotropy — measured −1.8% on an
+    aniso=0.9 metal furnace). The true albedo is nearly azimuth-flat
+    (MC: ±0.001 for μ ≥ 0.3 at aniso 0.9; ~±0.09 only at grazing), so
+    a φ-averaged 3-D table captures it; by x/y-swap symmetry E̅ depends
+    on |aniso| only. No corner fudge (that was reference parity for E)."""
+    zz, yy, xx = np.indices((size, size, size)).astype(np.float32)
+    aniso = jnp.asarray(((zz + 0.5) / size).reshape(-1))
+    rough = jnp.asarray(((yy + 0.5) / size).reshape(-1))
+    cos_t = jnp.asarray(((xx + 0.5) / size).reshape(-1))
+    alpha = ggx.alpha_from_roughness(rough, aniso)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+
+    def texel(stream):
+        stream, u2 = stream.next_2d()
+        stream, uphi = stream.next_1d()
+        phi = 2.0 * np.pi * uphi
+        wo = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi),
+                        jnp.broadcast_to(cos_t, phi.shape)], axis=-1)
+        f, wi, pdf = _sample_single_scatter(alpha, wo, u2)
+        return f * jnp.abs(wi[..., 2]) / pdf
+
+    return _mc(texel, (size, size, size), spp)
+
+
+def bake_E_avg_aniso(size=32, spp=32768):
+    """Cosine-weighted hemispherical average of bake_E_aniso:
+    E̅_avg(rough, aniso) — rows = roughness, cols = anisotropy (matching
+    sample2d(lut, aniso, rough))."""
+    yy, xx = np.indices((size, size)).astype(np.float32)
+    rough = jnp.asarray(((yy + 0.5) / size).reshape(-1))
+    aniso = jnp.asarray(((xx + 0.5) / size).reshape(-1))
+    alpha = ggx.alpha_from_roughness(rough, aniso)
+
+    def texel(stream):
+        stream, u2 = stream.next_2d()
+        stream, u1 = stream.next_1d()
+        stream, uphi = stream.next_1d()
+        phi = 2.0 * np.pi * uphi
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1 * u1))
+        wo = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), u1],
+                       axis=-1)
+        f, wi, pdf = _sample_single_scatter(alpha, wo, u2)
+        return 2.0 * f * jnp.abs(wi[..., 2]) * u1 / pdf
+
+    return _mc(texel, (size, size), spp)
+
+
 def _ior_grid(size, out: bool):
     p = (np.arange(size, dtype=np.float32) + 0.5) / size
     return (1.0 - p) if out else 1.0 / (1.0 - p)
@@ -266,11 +319,15 @@ def bake_all(spp_2d=4096, spp_avg=16384, spp_3d=2048, verbose=True,
     log("baking E_trans_in_avg / out_avg (32^2)...")
     E_trans_in_avg = bake_E_trans_avg(out=False, spp=spp_avg)
     E_trans_out_avg = bake_E_trans_avg(out=True, spp=spp_avg)
+    log("baking E_aniso (32^3) / E_avg_aniso (32^2)...")
+    E_aniso = bake_E_aniso(spp=max(spp_3d, 8192))
+    E_avg_aniso = bake_E_avg_aniso(spp=spp_avg * 2)
 
     luts = dict(
         E=E, E_avg=E_avg, E_ms=E_ms, E_ms_avg=E_ms_avg,
         E_trans_in=E_trans_in, E_trans_out=E_trans_out,
         E_trans_in_avg=E_trans_in_avg, E_trans_out_avg=E_trans_out_avg,
+        E_aniso=E_aniso, E_avg_aniso=E_avg_aniso,
     )
     out_path = out_path or LUT_BUNDLE
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -222,6 +222,59 @@ def test_furnace_thin_glass(luts_available):
     assert abs(img.mean() - 0.5) < 0.004, img.mean()
 
 
+@pytest.fixture(scope="module")
+def aniso_luts_available(luts_available):
+    from platinum_tpu.ops.luts import get_host_luts
+
+    if get_host_luts().E_aniso.shape[0] == 1:
+        pytest.skip("LUT bundle lacks the anisotropic energy tables")
+
+
+def test_furnace_aniso_metal(aniso_luts_available):
+    """Anisotropic conductor energy compensation via the net-new
+    E_aniso/E_avg_aniso tables (the reference's LUT set is isotropic-only
+    and its multiscatter looks E up at the scalar roughness — the
+    geometric-mean alpha — which OVERestimates E under anisotropy, so
+    (1-E) under-fills: measured -1.8% on this furnace before the fix)."""
+    img = _furnace(albedo=1.0, metallic=1.0, roughness=0.4, anisotropy=0.9,
+                   spp=48)
+    assert not np.isnan(img).any()
+    assert abs(img.mean() - 0.5) < 0.005, img.mean()
+
+
+def test_aniso_energy_table_matches_mc(aniso_luts_available):
+    """E_aniso texels must equal the azimuth-averaged directional albedo
+    of the REAL anisotropic sampler (ggx.sample_vmdf + single_scatter_brdf)
+    — a divergence would silently re-open the aniso energy gap."""
+    from platinum_tpu.ops.luts import get_host_luts, sample3d_np
+
+    lut = get_host_luts().E_aniso
+    rng = np.random.default_rng(11)
+    n = 200_000
+    for mu, rough, aniso in [(0.7, 0.5, 0.9), (0.3, 0.3, 0.9),
+                             (0.5, 0.7, 0.5)]:
+        # grid-aligned texel centers avoid interpolation error
+        def snap(v):
+            return (np.floor(v * 32) + 0.5) / 32
+        mu_s, rough_s, aniso_s = snap(mu), snap(rough), snap(aniso)
+        alpha = ggx.alpha_from_roughness(jnp.float32(rough_s),
+                                         jnp.float32(aniso_s))
+        phi = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+        s = np.sqrt(1 - mu_s * mu_s)
+        wo = jnp.asarray(np.stack([s * np.cos(phi), s * np.sin(phi),
+                                   np.full(n, mu_s)], -1, dtype=np.float32))
+        u2 = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+        a = jnp.broadcast_to(alpha, (n, 2))
+        wm = ggx.sample_vmdf(a, wo, u2)
+        wi = ggx.reflect(-wo, wm)
+        bad = (wm[..., 2] <= 0) | (wo[..., 2] * wi[..., 2] < 0)
+        f = jnp.where(bad, 0.0, ggx.single_scatter_brdf(a, wo, wi, wm))
+        pdf = jnp.where(bad, 1.0, ggx.pdf(a, wo, wm))
+        e_mc = float(jnp.mean(f * jnp.abs(wi[..., 2]) / pdf))
+        e_tab = float(sample3d_np(lut, mu_s, rough_s, aniso_s))
+        assert abs(e_mc - e_tab) < 0.01, (mu, rough, aniso, e_mc, e_tab)
+
+
 def test_coat_tables_properties_and_warp_match():
     """The load-time-baked clearcoat tables (ops/luts._bake_coat_fresnel_avg)
     must (a) satisfy basic bounds (E_F ≤ F̄, both in (0,1], comp ≥ 1),

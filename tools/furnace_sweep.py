@@ -49,15 +49,24 @@ localized the round-3 fidelity fixes:
     (ops/luts._bundle_path; PLATINUM_TPU_LUTS=ref for parity runs).
 
 With all of the above the sweep sits within 2.1e-3 worst-case across
-the isotropic material space (most cases ≤1e-3).
+the isotropic material space (most cases ≤1e-3), and within 3.1e-3 on
+the anisotropic cases (the E_ms residual above; the metal/thin aniso
+cases are ≤4e-4).
 
-Known shared limitation (documented, not fixed): ANISOTROPIC lobes use
-the isotropic energy LUTs at the scalar roughness (= geometric-mean
-alpha), exactly like the reference — the multiscatter compensation
-under-fills by up to -1.8% on an aniso=0.9 metal furnace (-0.2% at
-aniso 0.5; dielectrics ≤ -0.4% because f_avg is small). An exact fix
-needs azimuth-dependent (3-D) energy tables; both implementations
-share the 2-D ones.
+  * ANISOTROPIC energy (was a documented shared limitation, now fixed
+    beyond the reference): both implementations originally looked E up
+    at the scalar roughness (= geometric-mean alpha), which
+    OVERestimates E under anisotropy (MC: 0.90 vs true 0.77 at μ=0.9,
+    r=0.5, aniso=0.9) so the (1−E) multiscatter terms under-fill —
+    measured -1.8% on an aniso=0.9 metal furnace. The true directional
+    albedo is nearly azimuth-flat, so the net-new azimuth-averaged
+    E_aniso/E_avg_aniso tables (tools/lut_baker.bake_E_aniso; indexed
+    by |aniso| via x/y-swap symmetry) close it: aniso metal furnaces
+    now read -3.4e-4 (0.9), +4e-5 (0.5), -8e-5 (rotated 0.8); aniso
+    thin glass -6e-5. The reference's LUT set is isotropic-only.
+    Remaining residual: aniso DIELECTRICS keep the isotropic E_ms
+    (an aniso axis would make it 4-D) — -0.31% at the r=0.6 aniso=0.9
+    corner, f_avg-scaled so it shrinks with ior → 1.
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
@@ -92,6 +101,9 @@ CASES = [
     dict(albedo=1.0, roughness=0.4, metallic=1.0, anisotropy=0.9),
     dict(albedo=1.0, roughness=0.5, metallic=1.0, anisotropy=0.8,
          anisotropy_rotation=0.25),
+    dict(albedo=1.0, roughness=0.6, metallic=0.0, anisotropy=0.9),
+    dict(albedo=1.0, roughness=0.4, transmission=1.0, ior=1.5,
+         anisotropy=0.9, thin=True),
 ]
 
 
