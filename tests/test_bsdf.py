@@ -275,6 +275,35 @@ def test_aniso_energy_table_matches_mc(aniso_luts_available):
         assert abs(e_mc - e_tab) < 0.01, (mu, rough, aniso, e_mc, e_tab)
 
 
+def test_lut_bundle_aniso_fallback():
+    """Bundles baked before the anisotropic tables existed (incl. the
+    reference-derived one — the reference's LUT set is isotropic-only)
+    must load with a singleton-axis fallback whose lookups reproduce the
+    isotropic tables bit-exactly at EVERY anisotropy."""
+    from platinum_tpu.ops.luts import (_bundle_arrays, sample2d_np,
+                                       sample3d_np)
+
+    rng = np.random.default_rng(5)
+    legacy = {
+        "E": rng.uniform(0, 1, (128, 128)).astype(np.float32),
+        "E_avg": rng.uniform(0, 1, 128).astype(np.float32),
+    }
+    out = _bundle_arrays(legacy)
+    assert out["E_aniso"].shape == (1, 128, 128)
+    assert out["E_avg_aniso"].shape == (128, 1)
+    cos = rng.uniform(0, 1, 64)
+    rough = rng.uniform(0, 1, 64)
+    from platinum_tpu.ops.luts import sample1d_np
+
+    for an in (0.0, 0.3, 1.0):
+        np.testing.assert_array_equal(
+            sample3d_np(out["E_aniso"], cos, rough, an),
+            sample2d_np(legacy["E"], cos, rough))
+        np.testing.assert_array_equal(
+            sample2d_np(out["E_avg_aniso"], an, rough),
+            sample1d_np(legacy["E_avg"], rough))
+
+
 def test_coat_tables_properties_and_warp_match():
     """The load-time-baked clearcoat tables (ops/luts._bake_coat_fresnel_avg)
     must (a) satisfy basic bounds (E_F ≤ F̄, both in (0,1], comp ≥ 1),
