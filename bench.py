@@ -144,7 +144,7 @@ def main():
     run("sponza_class_512_mt3_knob", make_colonnade_scene(), RenderSettings(
         width=512, height=512, spp=16, max_bounces=8, kernel="mis",
         sampler="pcg4d", tracer="packet", compact=True, instancing="off",
-        mt_precision="high"))
+        compact_plan="auto", mt_precision="high"))
 
     # 1. Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
     # picks the dense brute intersector for 12 triangles — the honest best

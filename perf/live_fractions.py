@@ -39,9 +39,13 @@ def measure(name, scene, cam, bounces, spp_probe=4):
     fr = jax.device_get(fr / spp_probe)
     print(f"{name:12s} live after bounce k: "
           + " ".join(f"{v:.3f}" for v in fr))
+    # the comparison target is the STATIC compaction schedule, so ask the
+    # plan builder with compaction on (the probe settings above run dense)
+    from dataclasses import replace
+
     caps = {c[1]: c[0] / n
-            for c in integrator._compaction_plan(n, s)}
-    print(f"{'':12s} plan caps (bounce->frac): {caps}")
+            for c in integrator._compaction_plan(n, replace(s, compact=True))}
+    print(f"{'':12s} static plan caps (bounce->frac): {caps}")
 
 
 def main():

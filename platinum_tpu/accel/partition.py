@@ -89,7 +89,8 @@ def partition_bvh(bvh: BVH, budget_tris: int = DEFAULT_BUDGET_TRIS
     return parts
 
 
-def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
+def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False,
+                            mt_precision="highest"):
     """(trace_closest, trace_any) over a list of per-partition packed wide
     BVHs: [(nodes, tris, meta, slot_global[, octant_orders[, inst_feat,
     inst_map]]), ...]. Traces sequentially,
@@ -111,7 +112,8 @@ def make_partitioned_tracer(part_arrays, interpret=None, oct_order=False):
         make_packet_tracer(n, t, m, s, interpret=interpret,
                            worder=(p[4] if oct_order and len(p) > 4
                                    and p[4] is not None else None),
-                           inst_feat=(p[5] if len(p) > 6 else None))
+                           inst_feat=(p[5] if len(p) > 6 else None),
+                           mt_precision=mt_precision)
         for p in part_arrays
         for (n, t, m, s) in [p[:4]]
     ]

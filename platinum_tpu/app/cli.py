@@ -201,6 +201,17 @@ def _render_on_mesh(args, scene, cam_id, settings, post):
 
     mesh = Mesh(np.asarray(devices[:n_need]).reshape(*axes.values()),
                 tuple(axes))
+    if geom and settings.stream != "off":
+        # geometry sharding distributes resident partitions over the mesh;
+        # leaf-block streaming replaces partitioning entirely (one streamed
+        # structure, wbvh_parts never built), so the two are exclusive —
+        # force partitions rather than failing after flatten
+        import dataclasses
+
+        settings = dataclasses.replace(settings, stream="off")
+        print("note: --mesh geom=N implies --stream off "
+              "(geometry sharding distributes resident partitions)",
+              file=sys.stderr)
     flat = flatten_scene(scene, cam_id, settings)
     if settings.compact_plan == "auto":
         from platinum_tpu.render.autoplan import resolve_auto_plan

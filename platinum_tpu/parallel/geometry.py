@@ -99,7 +99,8 @@ def stack_partitions(part_arrays, n_shards: int):
 
 
 def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            mt_precision: str = "highest"):
     """(trace_closest, trace_any) for use INSIDE a shard_map whose `axis`
     carries the partition shards: trace this device's k partitions with the
     carried-best-t fold, then merge over ICI with an all_gather + in-order
@@ -113,7 +114,8 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
     pairs = [make_packet_tracer(
         shard["nodes"][i], shard["tris"][i], shard["meta"][i],
         shard["slot"][i], interpret=interpret,
-        inst_feat=(shard["inst_feat"][i] if instanced else None))
+        inst_feat=(shard["inst_feat"][i] if instanced else None),
+        mt_precision=mt_precision)
         for i in range(k)]
 
     def trace_closest(o, d, tmin, tmax, active=None) -> HitRecord:
@@ -158,7 +160,8 @@ def make_local_geom_tracers(shard: dict, k: int, n: int, axis: str,
 
 
 def make_geom_sharded_tracer(part_arrays, mesh: Mesh, axis: str = "geom",
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             mt_precision: str = "highest"):
     """Standalone (trace_closest, trace_any) over partitions sharded along
     `axis` — the make_partitioned_tracer signature with ray inputs and
     outputs replicated over the axis (every device computes the identical
@@ -172,13 +175,15 @@ def make_geom_sharded_tracer(part_arrays, mesh: Mesh, axis: str = "geom",
     rep = (P(), P(), P(), P(), P())
 
     def closest_impl(shard, o, d, tmin, tmax, active):
-        tc, _ = make_local_geom_tracers(shard, k, n, axis, interpret)
+        tc, _ = make_local_geom_tracers(shard, k, n, axis, interpret,
+                                        mt_precision=mt_precision)
         rec = tc(o, d, tmin, tmax, active=active)
         return (rec.t, rec.tri, rec.bary, rec.hit,
                 rec.inst if instanced else jnp.zeros_like(rec.tri))
 
     def any_impl(shard, o, d, tmin, tmax, active):
-        _, ta = make_local_geom_tracers(shard, k, n, axis, interpret)
+        _, ta = make_local_geom_tracers(shard, k, n, axis, interpret,
+                                        mt_precision=mt_precision)
         return ta(o, d, tmin, tmax, active=active)
 
     closest_sm = shard_map(closest_impl, mesh=mesh,
@@ -251,7 +256,8 @@ def make_geom_sharded_step(flat, settings, mesh: Mesh,
         pixel_ids = t * shard_px + jnp.arange(shard_px, dtype=jnp.uint32)
         sample_idx = step_idx * n_sample + s
         tracers = make_local_geom_tracers(shard, k, n_geom, "geom",
-                                          interpret)
+                                          interpret,
+                                          mt_precision=settings.mt_precision)
         radiance = render_sample(flat_arg, settings, sample_idx,
                                  pixel_ids=pixel_ids, tracers=tracers,
                                  features=feats)

@@ -58,9 +58,15 @@ def measure_live_fractions(flat, settings: RenderSettings,
     estimates of the full wave's occupancy.
     """
     from platinum_tpu.render import integrator
+    from platinum_tpu.render.flatten import analyze_features
 
     probe = replace(settings, compact=False, compact_plan=None,
                     fuse_shadow=False, spp_batch=1)
+    # probe with the scene's pruned feature set: the full ALL_FEATURES
+    # bounce body would compile every lobe + all texture slots (minutes
+    # via the remote compile service) and measure survival under a
+    # different shading configuration than the actual render
+    feats = analyze_features(flat)
     npx = settings.num_pixels
     stride = max(1, npx // PROBE_LANES)
     ids = np.arange(0, npx, stride, dtype=np.uint32)
@@ -73,7 +79,8 @@ def measure_live_fractions(flat, settings: RenderSettings,
     for si in range(probe_spp):
         state = _init(flat, probe, jnp.int32(si))
         for b in range(settings.max_bounces):
-            state = integrator.bounce_step_jit(flat, probe, state)
+            state = integrator.bounce_step_jit(flat, probe, state,
+                                               features=feats)
             fr[b] += float(jnp.mean(state["active"].astype(jnp.float32)))
     return (fr / probe_spp).astype(np.float64)
 

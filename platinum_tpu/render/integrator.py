@@ -67,7 +67,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
         from platinum_tpu.accel.partition import make_partitioned_tracer
 
         return make_partitioned_tracer(flat.wbvh_parts,
-                                       oct_order=settings.oct_order)
+                                       oct_order=settings.oct_order,
+                                       mt_precision=settings.mt_precision)
     if settings.tracer in ("packet", "auto") and flat.wbvh_nodes is not None:
         from platinum_tpu.ops.pallas_trace import make_packet_tracer
 
@@ -638,7 +639,21 @@ def _compaction_plan(n: int, settings: RenderSettings):
     if settings.compact_plan is not None:
         from platinum_tpu.render import autoplan
 
-        clamped = tuple((min(int(c), n), int(b))
+        # Plan caps are FULL-WAVE lane counts (num_pixels x spp_batch).
+        # Sharded/tiled calls see n < that; rescale caps to this wave's
+        # share (ceil to the 512-lane compaction grain) — clamping to n
+        # instead would leave most caps at full shard width and silently
+        # disable the schedule on sharded renders.
+        n_full = settings.num_pixels * max(1, settings.spp_batch)
+        scale = n / n_full if n_full > n else 1.0
+
+        def _cap(c):
+            c = int(c)
+            if scale < 1.0:
+                c = -(-int(c * scale) // 512) * 512
+            return min(max(c, 512), n)
+
+        clamped = tuple((_cap(c), int(b))
                         for c, b in settings.compact_plan)
         autoplan.validate_plan(clamped, n, settings.max_bounces)
         merged = []

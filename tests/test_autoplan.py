@@ -84,6 +84,24 @@ def test_compaction_plan_override_clamp_merge():
     assert plan == [(16384, 4), (4096, 8)]
 
 
+def test_compaction_plan_rescales_for_sharded_waves():
+    """Plan caps are full-wave lane counts; a sharded call (n_local <
+    num_pixels x spp_batch) must rescale them proportionally — clamping
+    to n_local would leave every cap at full shard width and silently
+    disable the schedule (the static plan would have compacted)."""
+    s = RenderSettings(width=128, height=128, max_bounces=8, compact=True,
+                       compact_plan=((16384, 2), (6144, 4), (2048, 8)))
+    # full wave: caps pass through unchanged
+    assert integrator._compaction_plan(16384, s) == \
+        [(16384, 2), (6144, 4), (2048, 8)]
+    # half shard (e.g. tile=2): caps scale by 1/2, ceil to 512 grain
+    plan = integrator._compaction_plan(8192, s)
+    assert plan == [(8192, 2), (3072, 4), (1024, 8)], plan
+    autoplan.validate_plan(tuple(plan), 8192, 8)
+    # tiny shards fall below the compaction threshold entirely
+    assert integrator._compaction_plan(4096, s) == [(4096, 8)]
+
+
 def test_resolve_auto_plan_and_render():
     """End-to-end: auto-resolve on a real scene, then render with the
     measured plan; mean agrees with the dense wavefront (unbiased)."""

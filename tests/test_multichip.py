@@ -319,3 +319,29 @@ def test_cli_mesh_render(cpu_mesh_env):
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "mesh {'sample': 2, 'tile': 4}" in proc.stderr
         assert os.path.exists(out)
+
+        # geom variant: partition sharding from the CLI. stream defaults
+        # to "auto", which would otherwise take the streamed-single-
+        # structure path and never build partitions — the CLI must force
+        # stream off when a geom axis is requested (regression: this
+        # combination used to SystemExit with unfixable guidance).
+        from platinum_tpu.app.scenes import make_colonnade_scene
+        from platinum_tpu.io.sceneio import save_scene
+
+        scene_g, _cam = make_colonnade_scene(columns=3, rows=2,
+                                             sphere_res=(8, 12))
+        scn = f"{td}/colo.ptscene"
+        save_scene(scene_g, scn)
+        out_g = f"{td}/g.png"
+        proc = subprocess.run(
+            [sys.executable, "-m", "platinum_tpu.app.cli", "render",
+             scn, "--spp", "1", "--size", "16x16", "--bounces", "2",
+             "--tracer", "packet", "--partition-tris", "400",
+             "--instancing", "off",
+             "--mesh", "geom=2", "-o", out_g],
+            env=cpu_mesh_env, cwd=REPO_DIR, capture_output=True, text=True,
+            timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "implies --stream off" in proc.stderr
+        assert os.path.exists(out_g)
