@@ -366,6 +366,20 @@ def _diffuse_factor(luts, ctx, wo_z, wi_z, features=None):
         e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
         e_ms_wi = luts_mod.sample3d(luts.E_ms, wi_z, ctx.roughness, p)
         e_ms_avg = luts_mod.sample2d(luts.E_ms_avg, p, ctx.roughness)
+        an = _aniso_amount(ctx, features)
+        if an is not None:
+            # aniso-corrected dielectric-specular albedo (same rationale
+            # as _sample_E: the isotropic E_ms at the geometric-mean
+            # alpha over-estimates E under anisotropy, so the diffuse
+            # (1−E_ms) terms under-fill — measured −3.1e-3 at r=0.6,
+            # aniso=0.9); iso lanes keep the exact 32³ table
+            on = an > 0.0
+            e_ms_wo = jnp.where(on, luts_mod.sample4d(
+                luts.E_ms_aniso, wo_z, ctx.roughness, p, an), e_ms_wo)
+            e_ms_wi = jnp.where(on, luts_mod.sample4d(
+                luts.E_ms_aniso, wi_z, ctx.roughness, p, an), e_ms_wi)
+            e_ms_avg = jnp.where(on, luts_mod.sample3d(
+                luts.E_ms_avg_aniso, p, ctx.roughness, an), e_ms_avg)
     return (1.0 - e_ms_wo) * (1.0 - e_ms_wi) / (
         np.pi * jnp.maximum(1.0 - e_ms_avg, 1e-5)
     )
@@ -382,12 +396,13 @@ def _opaque_dielectric_factor(luts, ctx, wo_z, f_avg, features=None):
         e_ms_wo = row[..., 1]
     else:
         p = _ior_param(ctx.ior)
-        # E aniso-corrected (see _sample_E); E_ms stays isotropic — an
-        # aniso axis would make it 4-D, and the residual on aniso
-        # dielectrics is small (f_avg ≈ 0.04 scales the whole term)
-        e_wo = _sample_E(luts, wo_z, ctx.roughness,
-                         _aniso_amount(ctx, features))
+        an = _aniso_amount(ctx, features)
+        e_wo = _sample_E(luts, wo_z, ctx.roughness, an)
         e_ms_wo = luts_mod.sample3d(luts.E_ms, wo_z, ctx.roughness, p)
+        if an is not None:
+            # aniso-corrected E_ms (4-D table; see _diffuse_factor)
+            e_ms_wo = jnp.where(an > 0.0, luts_mod.sample4d(
+                luts.E_ms_aniso, wo_z, ctx.roughness, p, an), e_ms_wo)
     fresnel_ms = f_avg * f_avg * e_wo / jnp.maximum(1.0 - f_avg * (1.0 - e_wo), 1e-5)
     return jnp.clip(f_avg * e_ms_wo + fresnel_ms * (1.0 - e_ms_wo), 0.0, 0.999)
 

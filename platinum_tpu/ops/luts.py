@@ -19,6 +19,10 @@ LUT set (parametrization: x = cosθ, y = roughness, z = iorParam = (η−1)/η f
                               [z=|aniso|, y=rough, x=cosθ] — net-new vs
                               the reference (see Luts field comment)
   E_avg_aniso  (32, 32)       its cosine-weighted average [y=rough, x=aniso]
+  E_ms_aniso   (8, 32, 32, 32) ANISOTROPIC Fresnel-weighted multiscatter
+                              dielectric albedo [q=|aniso|, z=iorParam,
+                              y=rough, x=cosθ] — net-new (see Luts)
+  E_ms_avg_aniso (8, 32, 32)  its average [q=|aniso|, y=rough, x=iorParam]
 """
 
 from __future__ import annotations
@@ -44,7 +48,7 @@ LUT_BUNDLE_REF = os.path.join(RESOURCE_DIR, "ggx_luts_ref.npz")
 LUT_NAMES = (
     "E", "E_avg", "E_ms", "E_ms_avg",
     "E_trans_in", "E_trans_out", "E_trans_in_avg", "E_trans_out_avg",
-    "E_aniso", "E_avg_aniso",
+    "E_aniso", "E_avg_aniso", "E_ms_aniso", "E_ms_avg_aniso",
 )
 
 
@@ -62,6 +66,10 @@ def _bundle_arrays(data) -> dict:
         out["E_aniso"] = out["E"][None]
     if "E_avg_aniso" not in out:
         out["E_avg_aniso"] = out["E_avg"][:, None]
+    if "E_ms_aniso" not in out and "E_ms" in out:
+        out["E_ms_aniso"] = out["E_ms"][None]
+    if "E_ms_avg_aniso" not in out and "E_ms_avg" in out:
+        out["E_ms_avg_aniso"] = out["E_ms_avg"][None]
     return out
 
 
@@ -88,6 +96,17 @@ class Luts:
     # closes it. Baked by tools/lut_baker.bake_E_aniso.
     E_aniso: jnp.ndarray
     E_avg_aniso: jnp.ndarray
+    # ANISOTROPIC Fresnel-weighted multiscatter dielectric albedo
+    # E_ms(|aniso|, iorParam, rough, cosθ) (8·32³) + its average
+    # E_ms_avg(|aniso|, rough, iorParam) (8·32²) — the aniso axis the
+    # isotropic E_ms lacks. Same rationale as E_aniso: looking E_ms up
+    # at the scalar roughness over-estimates the dielectric specular
+    # albedo under anisotropy so the diffuse (1−E_ms) terms under-fill
+    # (measured −3.1e-3 on an aniso=0.9 r=0.6 dielectric furnace with
+    # the isotropic table). 8 aniso bins suffice: the correction is
+    # ≤0.3% and smooth in |aniso|. Baked by lut_baker.bake_E_ms_aniso.
+    E_ms_aniso: jnp.ndarray
+    E_ms_avg_aniso: jnp.ndarray
     # Mean clearcoat Fresnel over the visible NDF, F̄(wo) =
     # ∫ Dv(wm|wo)·F(wo·wm, 1.5) dwm, (32 rough, 32 cos). This is the
     # EXACT marginal probability (÷ clearcoat) that sample() picks the
@@ -226,6 +245,8 @@ def placeholder_luts() -> Luts:
         E_trans_out_avg=jnp.ones((32, 32)),
         E_aniso=jnp.ones((1, 128, 128)),
         E_avg_aniso=jnp.ones((128, 1)),
+        E_ms_aniso=jnp.ones((1, 32, 32, 32)),
+        E_ms_avg_aniso=jnp.ones((1, 32, 32)),
         F_coat_avg=jnp.asarray(_coat_tables()[0]),
         E_F_coat=jnp.asarray(_coat_tables()[1]),
     )
@@ -313,6 +334,29 @@ def sample3d(lut: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray, w_: jnp.ndarray) 
     return bil(z0) * (1 - fz) + bil(z1) * fz
 
 
+def sample4d(lut: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+             w_: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """lut is (Q, D, H, W) indexed [q, w, v, u]. A singleton leading axis
+    degrades bit-exactly to sample3d of its only slice (the legacy-bundle
+    fallback relies on this: _axis clamps to f == 0)."""
+    qn, d, h, w = lut.shape
+    x0, x1, fx = _axis(u, w)
+    y0, y1, fy = _axis(v, h)
+    z0, z1, fz = _axis(w_, d)
+    a0, a1, fa = _axis(q, qn)
+
+    def tri(a):
+        def bil(z):
+            return (
+                (lut[a, z, y0, x0] * (1 - fx) + lut[a, z, y0, x1] * fx) * (1 - fy)
+                + (lut[a, z, y1, x0] * (1 - fx) + lut[a, z, y1, x1] * fx) * fy
+            )
+
+        return bil(z0) * (1 - fz) + bil(z1) * fz
+
+    return tri(a0) * (1 - fa) + tri(a1) * fa
+
+
 # ---------------------------------------------------------------------------
 # Host-side (numpy) mirrors of the samplers — used by the flattener to bake
 # per-material energy rows (same clamp-to-edge texel-center semantics)
@@ -351,6 +395,16 @@ def sample3d_np(lut, u, v, w_):
                 + (lut[z, y1, x0] * (1 - fx) + lut[z, y1, x1] * fx) * fy)
 
     return bil(z0) * (1 - fz) + bil(z1) * fz
+
+
+def sample4d_np(lut, u, v, w_, q):
+    """Host mirror of sample4d; `q` must be a scalar (the flattener's
+    per-material anisotropy) — u/v/w_ may be arrays."""
+    lut = np.asarray(lut)
+    qn = lut.shape[0]
+    a0, a1, fa = _axis_np(q, qn)
+    return sample3d_np(lut[a0], u, v, w_) * (1 - fa) + sample3d_np(
+        lut[a1], u, v, w_) * fa
 
 
 _HOST_CACHE: dict = {}

@@ -195,7 +195,13 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
             energy[row, :, 0] = _lm.sample3d_np(_l.E_aniso, cos_grid, rg, an)
         else:
             energy[row, :, 0] = _lm.sample2d_np(_l.E, cos_grid, rg)
-        energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
+        if an > 0.0:
+            # aniso-corrected dielectric multiscatter albedo (4-D table;
+            # models/bsdf._diffuse_factor rationale)
+            energy[row, :, 1] = _lm.sample4d_np(
+                _l.E_ms_aniso, cos_grid, rg, iorp, an)
+        else:
+            energy[row, :, 1] = _lm.sample3d_np(_l.E_ms, cos_grid, rg, iorp)
         energy[row, :, 2] = _lm.sample3d_np(_l.E_trans_in, cos_grid, rg, iorp)
         energy[row, :, 3] = _lm.sample3d_np(
             _l.E_trans_out, cos_grid, rg, 1.0 - (1.0 / max(io, 1e-6))
@@ -207,7 +213,9 @@ def _material_arrays(scene, mat_ids, idt, texture_entry):
         energy[row, :, 5] = _lm.sample2d_np(_l.E_F_coat, cos_grid, cr)
         energy_avg[row, 0] = (_lm.sample2d_np(_l.E_avg_aniso, an, rg)
                               if an > 0.0 else _lm.sample1d_np(_l.E_avg, rg))
-        energy_avg[row, 1] = _lm.sample2d_np(_l.E_ms_avg, iorp, rg)
+        energy_avg[row, 1] = (
+            _lm.sample3d_np(_l.E_ms_avg_aniso, iorp, rg, an)
+            if an > 0.0 else _lm.sample2d_np(_l.E_ms_avg, iorp, rg))
 
     mat_packed = np.zeros((n_mat, 16), F)
     mat_packed[:, 0:4] = base_color

@@ -52,7 +52,11 @@ def enable_compilation_cache():
         backend = jax.default_backend()
     except Exception:
         backend = "unknown"
-    scope = backend if backend == "tpu" else f"{backend}-{_host_fingerprint()}"
+    # TPU executables are host-portable whichever plugin serves the chip
+    # (plain "tpu" or the tunneled "axon" backend); everything else gets
+    # the per-host-CPU scope
+    scope = (backend if backend in ("tpu", "axon")
+             else f"{backend}-{_host_fingerprint()}")
     path = os.path.join(
         os.environ.get("PLATINUM_TPU_CACHE_DIR", _DEFAULT), scope
     )

@@ -275,6 +275,82 @@ def test_aniso_energy_table_matches_mc(aniso_luts_available):
         assert abs(e_mc - e_tab) < 0.01, (mu, rough, aniso, e_mc, e_tab)
 
 
+@pytest.fixture(scope="module")
+def aniso_ms_luts_available(luts_available):
+    from platinum_tpu.ops.luts import get_host_luts
+
+    if get_host_luts().E_ms_aniso.shape[0] == 1:
+        pytest.skip("LUT bundle lacks the anisotropic E_ms tables")
+
+
+def test_furnace_aniso_dielectric(aniso_ms_luts_available):
+    """Anisotropic OPAQUE DIELECTRIC energy: the diffuse (1−E_ms) terms
+    must see the anisotropy-corrected dielectric-specular albedo (the
+    4-D E_ms_aniso table). With the isotropic E_ms this furnace read
+    −3.1e-3 (the geometric-mean-alpha lookup over-estimates E_ms, so
+    the diffuse compensation under-fills); with the aniso table it
+    closes to −1.1e-3 at 768 spp (the remainder is the azimuth-
+    averaging correlation gap: the product of azimuth-averaged
+    (1−E_ms) factors ≠ the average of the products — closing it needs
+    a 5-D table; tools/furnace_sweep.py)."""
+    img = _furnace(albedo=1.0, metallic=0.0, roughness=0.6, anisotropy=0.9,
+                   spp=96)
+    assert not np.isnan(img).any()
+    assert abs(img.mean() - 0.5) < 0.003, img.mean()
+
+
+def test_aniso_ms_table_matches_mc(aniso_ms_luts_available):
+    """E_ms_aniso texels must equal the azimuth-averaged directional
+    albedo of the REAL anisotropic Fresnel-weighted dielectric lobe
+    (single-scatter GGX + Kulla-Conty ms with the aniso energy tables) —
+    the integrand models/bsdf's dielectric specular evaluates under
+    anisotropy. A divergence would silently re-open the aniso E_ms gap."""
+    from platinum_tpu.models import fresnel as fr
+    from platinum_tpu.ops.luts import (get_host_luts, sample2d_np,
+                                       sample3d_np, sample4d_np)
+
+    luts = get_host_luts()
+    rng = np.random.default_rng(13)
+    n = 200_000
+    for mu, rough, aniso, ior in [(0.7, 0.6, 0.9, 1.5),
+                                  (0.4, 0.3, 0.6, 1.5)]:
+        def snap(v, bins=32):
+            return (np.floor(v * bins) + 0.5) / bins
+        asize = luts.E_ms_aniso.shape[0]
+        mu_s, rough_s = snap(mu), snap(rough)
+        aniso_s = snap(aniso, asize)
+        iorp_s = snap((ior - 1.0) / ior)
+        ior_s = 1.0 / (1.0 - iorp_s)
+        alpha = ggx.alpha_from_roughness(jnp.float32(rough_s),
+                                         jnp.float32(aniso_s))
+        phi = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+        s = np.sqrt(1 - mu_s * mu_s)
+        wo = jnp.asarray(np.stack([s * np.cos(phi), s * np.sin(phi),
+                                   np.full(n, mu_s)], -1, dtype=np.float32))
+        u2 = jnp.asarray(rng.uniform(0, 1, (n, 2)).astype(np.float32))
+        a = jnp.broadcast_to(alpha, (n, 2))
+        wm = ggx.sample_vmdf(a, wo, u2)
+        wi = ggx.reflect(-wo, wm)
+        bad = np.asarray(wo[..., 2] * wi[..., 2] < 0)
+        brdf_ss = np.asarray(ggx.single_scatter_brdf(a, wo, wi, wm))
+        f_ss = np.asarray(fr.fresnel_dielectric(
+            jnp.abs(jnp.sum(wo * wm, axis=-1)), jnp.float32(ior_s)))
+        e_wo = sample3d_np(luts.E_aniso, mu_s, rough_s, aniso_s)
+        e_wi = sample3d_np(luts.E_aniso, np.abs(np.asarray(wi[..., 2])),
+                           rough_s, aniso_s)
+        e_avg = sample2d_np(luts.E_avg_aniso, aniso_s, rough_s)
+        f_avg = float(fr.avg_dielectric_fresnel_fit(jnp.float32(ior_s)))
+        brdf_ms = (1 - e_wo) * (1 - e_wi) / (np.pi * max(1 - e_avg, 1e-5))
+        fresnel_ms = f_avg * f_avg * e_avg / max(1 - f_avg * (1 - e_avg),
+                                                 1e-5)
+        f = np.where(bad, 0.0, f_ss * brdf_ss + fresnel_ms * brdf_ms)
+        pdf = np.where(bad, 1.0, np.asarray(ggx.pdf(a, wo, wm)))
+        e_mc = float(np.mean(f * np.abs(np.asarray(wi[..., 2])) / pdf))
+        e_tab = float(sample4d_np(luts.E_ms_aniso, mu_s, rough_s, iorp_s,
+                                  aniso_s))
+        assert abs(e_mc - e_tab) < 0.01, (mu, rough, aniso, e_mc, e_tab)
+
+
 def test_lut_bundle_aniso_fallback():
     """Bundles baked before the anisotropic tables existed (incl. the
     reference-derived one — the reference's LUT set is isotropic-only)
@@ -287,13 +363,18 @@ def test_lut_bundle_aniso_fallback():
     legacy = {
         "E": rng.uniform(0, 1, (128, 128)).astype(np.float32),
         "E_avg": rng.uniform(0, 1, 128).astype(np.float32),
+        "E_ms": rng.uniform(0, 1, (32, 32, 32)).astype(np.float32),
+        "E_ms_avg": rng.uniform(0, 1, (32, 32)).astype(np.float32),
     }
     out = _bundle_arrays(legacy)
     assert out["E_aniso"].shape == (1, 128, 128)
     assert out["E_avg_aniso"].shape == (128, 1)
+    assert out["E_ms_aniso"].shape == (1, 32, 32, 32)
+    assert out["E_ms_avg_aniso"].shape == (1, 32, 32)
     cos = rng.uniform(0, 1, 64)
     rough = rng.uniform(0, 1, 64)
-    from platinum_tpu.ops.luts import sample1d_np
+    iorp = rng.uniform(0, 1, 64)
+    from platinum_tpu.ops.luts import sample1d_np, sample4d_np
 
     for an in (0.0, 0.3, 1.0):
         np.testing.assert_array_equal(
@@ -302,6 +383,12 @@ def test_lut_bundle_aniso_fallback():
         np.testing.assert_array_equal(
             sample2d_np(out["E_avg_aniso"], an, rough),
             sample1d_np(legacy["E_avg"], rough))
+        np.testing.assert_array_equal(
+            sample4d_np(out["E_ms_aniso"], cos, rough, iorp, an),
+            sample3d_np(legacy["E_ms"], cos, rough, iorp))
+        np.testing.assert_array_equal(
+            sample3d_np(out["E_ms_avg_aniso"], iorp, rough, an),
+            sample2d_np(legacy["E_ms_avg"], iorp, rough))
 
 
 def test_coat_tables_properties_and_warp_match():

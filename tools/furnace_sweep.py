@@ -49,9 +49,9 @@ localized the round-3 fidelity fixes:
     (ops/luts._bundle_path; PLATINUM_TPU_LUTS=ref for parity runs).
 
 With all of the above the sweep sits within 2.1e-3 worst-case across
-the isotropic material space (most cases ≤1e-3), and within 3.1e-3 on
-the anisotropic cases (the E_ms residual above; the metal/thin aniso
-cases are ≤4e-4).
+the isotropic material space (most cases ≤1e-3), and within 1.3e-3 on
+the anisotropic cases (the azimuth-averaging gap below; the metal/thin
+aniso cases are ≤4e-4).
 
   * ANISOTROPIC energy (was a documented shared limitation, now fixed
     beyond the reference): both implementations originally looked E up
@@ -64,9 +64,13 @@ cases are ≤4e-4).
     by |aniso| via x/y-swap symmetry) close it: aniso metal furnaces
     now read -3.4e-4 (0.9), +4e-5 (0.5), -8e-5 (rotated 0.8); aniso
     thin glass -6e-5. The reference's LUT set is isotropic-only.
-    Remaining residual: aniso DIELECTRICS keep the isotropic E_ms
-    (an aniso axis would make it 4-D) — -0.31% at the r=0.6 aniso=0.9
-    corner, f_avg-scaled so it shrinks with ior → 1.
+    Aniso DIELECTRICS additionally need the dielectric-specular
+    multiscatter albedo corrected: the 4-D E_ms_aniso /
+    E_ms_avg_aniso tables (lut_baker.bake_E_ms_aniso) close the
+    r=0.6 aniso=0.9 corner from -3.1e-3 to -1.1e-3 (768 spp). The
+    remainder is the azimuth-averaging correlation gap — the product
+    of azimuth-averaged (1−E_ms) factors ≠ the average of the
+    products; exact closure needs a 5-D azimuth-resolved table.
 
 Usage: python tools/furnace_sweep.py [quick|full]
 """
