@@ -1,28 +1,68 @@
 """Benchmark: the five BASELINE.md configurations on the real chip.
 
-Prints one JSON line per config (stderr-safe "#"-prefixed context lines
-aside) with the HEADLINE config last: Sponza-class ray throughput, the
-number BASELINE.json's north star names (>= 100 Mrays/sec/chip). The
-detailed results are also written to BENCH_DETAIL.json.
+Prints one JSON line per config ("#"-prefixed context lines aside) and ends
+with exactly ONE bare JSON line: the headline metric (Sponza-class ray
+throughput, the number BASELINE.json's north star names — >= 100
+Mrays/sec/chip). Detailed results go to BENCH_DETAIL.json, updated after
+every config.
 
-Configs 2-5 time the Pallas packet tracer (round-1's bench only ever
-timed the 12-triangle brute path; config 1 keeps the brute intersector,
-the honest best algorithm for 12 triangles) with
-multi-spp batching per device program (the remote-TPU tunnel costs up
-to ~28 ms per dispatch) and wavefront compaction on the deep-bounce
-configs. Methodology: best half of timed iterations (tunnel variance).
+Delivery guarantees (round 3 shipped rc=124 with zero output — a cold
+compile cache starved the whole capture before the first config printed):
 
-Env knobs: BENCH_CONFIGS=comma list (default all), BENCH_ITERS.
+- Every config runs in its OWN SUBPROCESS with a hard timeout: a native
+  crash or a hung compile/tunnel loses that config, never the capture.
+- A GLOBAL wall-clock budget (BENCH_BUDGET_S, default 1500 s) with
+  SIGALRM + SIGTERM handlers: whatever happens, the final metric line is
+  flushed from the results accumulated so far before the driver's timeout
+  can hit.
+- The FASTEST config (Cornell, brute intersector, small compile) runs
+  first so something prints within minutes even on a cold cache; the
+  headline runs second.
+- Compiles are shared across config subprocesses via the persistent
+  compilation cache (utils/cache.py), so a warm run fits easily.
+- Each result carries a `cfg` fingerprint (settings + flattened-scene
+  stats) so silent scene drift between rounds is detectable
+  (BENCH_DETAIL.json diffs).
+
+Methodology: best half of timed iterations (tunnel variance); multi-spp
+batching per device program (the remote-TPU tunnel costs up to ~28 ms per
+dispatch); wavefront compaction plans measured per scene (render/autoplan).
+
+Env knobs: BENCH_CONFIGS=comma list (default all), BENCH_ITERS,
+BENCH_BUDGET_S, BENCH_CONFIG_TIMEOUT_S.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+HEADLINE = "sponza_class_512"
+HEADLINE_LABEL = "Sponza-class 271k tris, 512x512, MIS, 8 bounces"
+
+# Execution order: fastest-to-print first, headline second, then by value.
+CONFIG_ORDER = [
+    "cornell_512",
+    HEADLINE,
+    "sponza_class_512_mt3_knob",
+    "metalrough_spheres",
+    "helmet_env_1080p",
+    "studio_loop",
+    "sponza_instanced_512",
+    "bistro_class_studio",
+]
+
+
+# --------------------------------------------------------------------------
+# Child-side measurement
+# --------------------------------------------------------------------------
 
 def _timeit(fn, n_iters, repeats=2):
     """Time n_iters calls as one batch ending in a FORCED value fetch —
@@ -40,9 +80,22 @@ def _timeit(fn, n_iters, repeats=2):
     return best
 
 
+def _fingerprint(settings, flat) -> str:
+    """Config hash: settings plus flattened-scene stats, so a silently
+    drifted scene (round 2's broken-helmet incident) changes the hash."""
+    stats = [
+        repr(settings),
+        str(flat.geometry.indices.shape if flat.geometry is not None else 0),
+        str(getattr(flat.lights, "n_lights", None)),
+        str(len(flat.wbvh_parts) if flat.wbvh_parts else 0),
+        str(bool(flat.wbvh_stream)),
+    ]
+    return hashlib.sha256("|".join(stats).encode()).hexdigest()[:12]
+
+
 def _render_config(scene, cam, settings, features=None, accel_min_tris=1,
                    n_iters=6, spp_per_call=4):
-    """Returns (sec_per_sample, rays_per_sample, flat, settings)."""
+    """Returns (sec_per_sample, rays_per_sample, flat, feats, accum)."""
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +133,52 @@ def _render_config(scene, cam, settings, features=None, accel_min_tris=1,
     return dt, rays_per_sample, flat, feats, accum
 
 
-def main():
+def _measure(scene_cam, settings, n_iters, **kw):
+    scene, cam = scene_cam
+    dt, rays, flat, _, _ = _render_config(scene, cam, settings,
+                                          n_iters=n_iters, **kw)
+    return {
+        "ms_per_spp": round(dt * 1e3, 2),
+        "spp_per_sec": round(1.0 / dt, 2),
+        "mrays_per_sec": round(rays / dt / 1e6, 3),
+        "cfg": _fingerprint(settings, flat),
+    }
+
+
+def _via_foreign_glb(scene_cam, tag: str):
+    """Round-trip a scene through an on-disk .glb and the real import path
+    (io/gltf.py), using the FOREIGN-layout writer (interleaved 36-byte
+    strides, compacted multi-primitive meshes, u8/u16 indices, non-indexed
+    small prims, TRS-quaternion nodes) so the benched configuration
+    exercises the loader against a file layout it didn't originate
+    (VERDICT r3 missing #2). Environment and camera physics aren't part of
+    glTF and are carried over from the source scene."""
+    import copy
+    import tempfile
+
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.io.gltf import load_gltf
+    from platinum_tpu.tools.foreign_glb import export_glb_foreign
+
+    scene, cam_id = scene_cam
+    path = os.path.join(tempfile.gettempdir(), f"bench_{tag}.glb")
+    export_glb_foreign(scene, path)
+    print(f"# {tag}: exported {os.path.getsize(path)/1e6:.1f} MB foreign "
+          f".glb, loading via io/gltf.py", flush=True)
+    loaded = Scene()
+    load_gltf(loaded, path)
+    node_id = loaded.get_cameras()[0][0]
+    loaded.node(node_id).camera = copy.copy(scene.node(cam_id).camera)
+    loaded.environment = copy.copy(scene.environment)
+    tid = scene.environment.texture_id
+    if tid is not None:
+        loaded.environment.texture_id = loaded.add_asset(
+            scene.asset(tid), retained=True)
+    return loaded, node_id
+
+
+def run_one_config(name: str, n_iters: int) -> dict:
+    """Child-side: run a single named config, return its result dict."""
     import jax
     import jax.numpy as jnp
 
@@ -88,122 +186,82 @@ def main():
         make_colonnade_scene,
         make_cornell_scene,
         make_helmet_scene,
-        make_spheres_scene,
     )
     from platinum_tpu.render.types import RenderSettings
 
-    n_iters = int(os.environ.get("BENCH_ITERS", 6))
-    which = os.environ.get("BENCH_CONFIGS", "").split(",") if \
-        os.environ.get("BENCH_CONFIGS") else None
-    chip = jax.devices()[0].device_kind
-    results = []
+    if name == "cornell_512":
+        # Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
+        # picks the dense brute intersector for 12 triangles — the honest
+        # best algorithm at this size (the BVH path is timed by the rest).
+        return _measure(make_cornell_scene(), RenderSettings(
+            width=512, height=512, spp=64, max_bounces=8, kernel="mis",
+            sampler="halton"), n_iters, accel_min_tris=32)
 
-    def run(name, scene_cam, settings, **kw):
-        if which and name not in which:
-            return None
-        # one config's failure (e.g. a tunnel/worker crash on a huge wave)
-        # must not lose the other configs' numbers or the headline line
-        try:
-            scene, cam = scene_cam
-            dt, rays, _, _, _ = _render_config(scene, cam, settings,
-                                               n_iters=n_iters, **kw)
-        except Exception as e:  # noqa: BLE001
-            print(f"# config {name} FAILED: {type(e).__name__}: {e}",
-                  flush=True)
-            return None
-        r = {
-            "config": name,
-            "ms_per_spp": round(dt * 1e3, 2),
-            "spp_per_sec": round(1.0 / dt, 2),
-            "mrays_per_sec": round(rays / dt / 1e6, 3),
-        }
-        results.append(r)
-        print("# " + json.dumps(r), flush=True)
-        return r
+    if name == HEADLINE:
+        # Sponza-class (colonnade, 271k tris, 216 lights), deep BVH,
+        # wavefront compaction stressed. instancing="off" is measured
+        # faster for the headline (~10%); the instanced path is benched
+        # separately. compact_plan="auto" compiles the compaction schedule
+        # to the scene's measured per-bounce live fractions.
+        return _measure(
+            _via_foreign_glb(make_colonnade_scene(), "sponza"),
+            RenderSettings(
+                width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+                sampler="halton", tracer="packet", compact=True,
+                instancing="off", compact_plan="auto"), n_iters)
 
-    # HEADLINE (run FIRST so a later config failure cannot lose it):
-    # Sponza-class (colonnade, 271k tris, 216 lights), deep BVH,
-    # wavefront compaction stressed. instancing="off" is the measured-faster
-    # configuration for the headline (the baked soup avoids the per-leaf
-    # instance feature transform, ~10%); the instanced path is benched below.
-    # compact_plan="auto" compiles the compaction schedule to the scene's
-    # measured per-bounce live fractions (render/autoplan.py): -2%/-10%/
-    # -39% ms/spp vs the static plan on sponza/spheres/helmet — and the
-    # spheres/helmet configs never ran compaction at all before
-    # (dense->auto: -32%/-59%). perf/bench_autoplan.py, PERFORMANCE.md.
-    head = run("sponza_class_512", make_colonnade_scene(), RenderSettings(
-        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True, instancing="off",
-        compact_plan="auto"))
+    if name == "sponza_class_512_mt3_knob":
+        # HEADLINE KNOB (clearly labeled, NOT the headline number): same
+        # config with mt_precision="high" — the bf16x3 3-pass MT tier
+        # (measured -13%, borderline-hit drift only).
+        return _measure(make_colonnade_scene(), RenderSettings(
+            width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+            sampler="halton", tracer="packet", compact=True,
+            instancing="off", compact_plan="auto", mt_precision="high"),
+            n_iters)
 
-    # HEADLINE KNOB (clearly labeled, NOT the headline number): the same
-    # config with mt_precision="high" — the bf16x3 3-pass MT tier
-    # (measured -13%, borderline-hit drift only; perf/bench_precision.py,
-    # PERFORMANCE.md). Shows the production speed knob's value on the
-    # headline scene next to the oracle-exact default.
-    run("sponza_class_512_mt3_knob", make_colonnade_scene(), RenderSettings(
-        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True, instancing="off",
-        compact_plan="auto", mt_precision="high"))
+    if name == "metalrough_spheres":
+        # Full GGX sweep + normal mapping, 256 spp, loaded back through the
+        # real glTF import path.
+        from platinum_tpu.app.scenes import make_spheres_scene
 
-    # 1. Cornell box, 512x512, Lambert + single light + NEE. tracer=auto
-    # picks the dense brute intersector for 12 triangles — the honest best
-    # algorithm at this size (the BVH path is timed by configs 2-5).
-    run("cornell_512", make_cornell_scene(), RenderSettings(
-        width=512, height=512, spp=64, max_bounces=8, kernel="mis",
-        sampler="pcg4d"), accel_min_tris=32)
+        return _measure(
+            _via_foreign_glb(make_spheres_scene(), "spheres"),
+            RenderSettings(
+            width=512, height=512, spp=256, max_bounces=6, kernel="mis",
+            sampler="halton", tracer="packet", compact=True,
+            compact_plan="auto"), n_iters)
 
-    # 2. MetalRoughSpheres-class: full GGX sweep + normal mapping, 256 spp.
-    # The scene is exported to .glb by our own tooling and loaded back
-    # through io/gltf.py, so the real glTF import path is in the benched
-    # configuration (VERDICT r2 #8; a committed fixture lives in
-    # tests/fixtures/spheres_grid3.glb).
-    def spheres_via_gltf():
-        import tempfile
+    if name == "helmet_env_1080p":
+        return _measure(
+            _via_foreign_glb(make_helmet_scene(), "helmet"),
+            RenderSettings(
+                width=1920, height=1080, spp=16, max_bounces=6, kernel="mis",
+                sampler="halton", tracer="packet", compact=True,
+                compact_plan="auto"), n_iters, spp_per_call=2)
 
-        from platinum_tpu.core.scene import Scene
-        from platinum_tpu.io.gltf import load_gltf
-        from platinum_tpu.tools.gltf_export import export_glb
+    if name == "sponza_instanced_512":
+        # Two-level TLAS/BLAS instancing path (geometry memory O(meshes),
+        # transform edits refit without rebuild).
+        return _measure(make_colonnade_scene(), RenderSettings(
+            width=512, height=512, spp=16, max_bounces=8, kernel="mis",
+            sampler="halton", tracer="packet", compact=True,
+            instancing="on"), n_iters)
 
-        scene, _ = make_spheres_scene()
-        path = os.path.join(tempfile.gettempdir(), "bench_spheres.glb")
-        export_glb(scene, path)
-        loaded = Scene()
-        load_gltf(loaded, path)
-        cams = loaded.get_cameras()
-        # env map texture isn't part of glTF: carry it over
-        loaded.environment = scene.environment
-        for aid in list(scene._assets):
-            a = scene.asset(aid)
-            if a is not None and type(a).__name__ == "Texture" and (
-                    scene.environment.texture_id == aid):
-                loaded.environment.texture_id = loaded.add_asset(
-                    a, retained=True)
-        return loaded, cams[0][0]
-
-    run("metalrough_spheres", spheres_via_gltf(), RenderSettings(
-        width=512, height=512, spp=256, max_bounces=6, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True,
-        compact_plan="auto"))
-
-    # 3. DamagedHelmet-class + HDR env importance sampling + MIS, 1080p
-    run("helmet_env_1080p", make_helmet_scene(), RenderSettings(
-        width=1920, height=1080, spp=16, max_bounces=6, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True,
-        compact_plan="auto"), spp_per_call=2)
-
-    # 5. Studio loop: progressive accumulate + tonemap + PNG export
-    if not which or "studio_loop" in which:
-      try:
+    if name == "studio_loop":
+        # Progressive accumulate + tonemap + PNG export.
+        from platinum_tpu.app.scenes import make_colonnade_scene
+        from platinum_tpu.io.png import write_png
         from platinum_tpu.post.options import PostProcessOptions
         from platinum_tpu.post.pipeline import postprocess_jit
         from platinum_tpu.render.flatten import analyze_features, flatten_scene
         from platinum_tpu.render.integrator import render_step_n
-        from platinum_tpu.io.png import write_png
+
         scene, cam = make_colonnade_scene()
-        settings = RenderSettings(width=960, height=540, spp=8, max_bounces=6,
-                                  kernel="mis", sampler="pcg4d",
-                                  tracer="packet", compact=True)
+        settings = RenderSettings(width=960, height=540, spp=8,
+                                  max_bounces=6, kernel="mis",
+                                  sampler="halton", tracer="packet",
+                                  compact=True)
         flat = flatten_scene(scene, cam, settings)
         feats = analyze_features(flat)
         opts = PostProcessOptions()
@@ -215,47 +273,31 @@ def main():
             nonlocal accum
             accum = render_step_n(flat, settings, accum,
                                   jnp.int32(2 * (i + 1)), 2, features=feats)
-            img = postprocess_jit(
+            return postprocess_jit(
                 accum.reshape(settings.height, settings.width, 3), opts,
                 settings.working_space, settings.output_space)
-            return img
 
         img = loop(0)
         dt = _timeit(lambda i: loop(i)[:1, :1], n_iters) / 2
         write_png("/tmp/bench_studio.png", np.asarray(img))
-        r = {"config": "studio_loop", "ms_per_spp": round(dt * 1e3, 2),
-             "spp_per_sec": round(1.0 / dt, 2)}
-        results.append(r)
-        print("# " + json.dumps(r), flush=True)
-      except Exception as e:  # noqa: BLE001
-        print(f"# config studio_loop FAILED: {type(e).__name__}: {e}",
-              flush=True)
+        return {"ms_per_spp": round(dt * 1e3, 2),
+                "spp_per_sec": round(1.0 / dt, 2),
+                "cfg": _fingerprint(settings, flat)}
 
-    # 4b. The same scene through the two-level TLAS/BLAS instancing path
-    # (geometry memory O(meshes), transform edits refit without rebuild)
-    run("sponza_instanced_512", make_colonnade_scene(), RenderSettings(
-        width=512, height=512, spp=16, max_bounces=8, kernel="mis",
-        sampler="pcg4d", tracer="packet", compact=True, instancing="on"))
-
-    # 5b. Bistro-class studio loop (BASELINE config 5): a >=1M-triangle
-    # variant of the colonnade, which exceeds the VMEM-resident limit and
-    # exercises the beyond-VMEM path in the benched configuration — with
-    # stream="auto" (the measured-faster default, perf/bench_stream.py)
-    # that is ONE structure with HBM leaf blocks DMA-staged at trace time
-    # (ops/pallas_trace stream mode). Runs LAST and failure-isolated: it
-    # is the heaviest config.
-    if not which or "bistro_class_studio" in which:
-      try:
+    if name == "bistro_class_studio":
+        # >=1M-triangle colonnade variant: exceeds the VMEM-resident limit,
+        # exercises the beyond-VMEM stream path (HBM leaf blocks DMA-staged
+        # at trace time).
+        from platinum_tpu.app.scenes import make_colonnade_scene
         from platinum_tpu.render.flatten import analyze_features, flatten_scene
         from platinum_tpu.render.integrator import render_step_n
+
         scene, cam = make_colonnade_scene(columns=24, rows=12)
         settings = RenderSettings(width=960, height=540, spp=4,
                                   max_bounces=4, kernel="mis",
-                                  sampler="pcg4d", tracer="packet",
+                                  sampler="halton", tracer="packet",
                                   compact=True, instancing="off")
         flat = flatten_scene(scene, cam, settings)
-        n_tris = int(flat.geometry.indices.shape[0])
-        n_parts = len(flat.wbvh_parts) if flat.wbvh_parts else 1
         feats = analyze_features(flat)
         accum = jnp.zeros((settings.num_pixels, 3))
         accum = render_step_n(flat, settings, accum, jnp.int32(0), 2,
@@ -267,24 +309,45 @@ def main():
                                  jnp.int32(2 * (i + 1)), 2, features=feats)
 
         dt = _timeit(lambda i: bloop(i), max(2, n_iters // 3)) / 2
-        r = {"config": "bistro_class_studio", "tris": n_tris,
-             "partitions": n_parts, "stream": bool(flat.wbvh_stream),
-             "ms_per_spp": round(dt * 1e3, 2),
-             "spp_per_sec": round(1.0 / dt, 2)}
-        results.append(r)
-        print("# " + json.dumps(r), flush=True)
-      except Exception as e:  # noqa: BLE001
-        print(f"# config bistro_class_studio FAILED: "
-              f"{type(e).__name__}: {e}", flush=True)
+        return {"tris": int(flat.geometry.indices.shape[0]),
+                "partitions": len(flat.wbvh_parts) if flat.wbvh_parts else 1,
+                "stream": bool(flat.wbvh_stream),
+                "ms_per_spp": round(dt * 1e3, 2),
+                "spp_per_sec": round(1.0 / dt, 2),
+                "cfg": _fingerprint(settings, flat)}
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump({"chip": chip, "results": results}, f, indent=1)
+    raise ValueError(f"unknown config {name!r}")
 
-    label = "Sponza-class 271k tris, 512x512, MIS, 8 bounces"
+
+def child_main(name: str, n_iters: int) -> None:
+    import jax
+
+    r = run_one_config(name, n_iters)
+    r["config"] = name
+    r["chip"] = jax.devices()[0].device_kind
+    print("@RESULT " + json.dumps(r), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Parent-side orchestration
+# --------------------------------------------------------------------------
+
+class _Budget:
+    def __init__(self, total_s: float):
+        self.t0 = time.monotonic()
+        self.total = total_s
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+
+def _final_lines(results: list[dict], chip: str) -> str:
+    head = next((r for r in results if r.get("config") == HEADLINE), None)
+    label = HEADLINE_LABEL
     if head is None:
-        # headline config failed/skipped: fall back to the last config that
-        # HAS a ray rate, and say so in the label rather than mislabeling it
         with_rays = [r for r in results if "mrays_per_sec" in r]
         if with_rays:
             head = with_rays[-1]
@@ -292,12 +355,127 @@ def main():
         else:
             head = {"mrays_per_sec": 0.0}
             label += " — NO CONFIG COMPLETED"
-    print(json.dumps({
+    return json.dumps({
         "metric": f"Mrays/sec/chip ({label}, {chip})",
         "value": head["mrays_per_sec"],
         "unit": "Mrays/s",
         "vs_baseline": round(head["mrays_per_sec"] / 100.0, 4),
-    }))
+    })
+
+
+def _write_detail(results: list[dict], chip: str) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_DETAIL.json")
+    try:
+        with open(path, "w") as f:
+            json.dump({"chip": chip, "results": results}, f, indent=1)
+    except OSError:
+        pass
+
+
+def parent_main() -> None:
+    budget = _Budget(float(os.environ.get("BENCH_BUDGET_S", "1500")))
+    cap = float(os.environ.get("BENCH_CONFIG_TIMEOUT_S", "600"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "6"))
+    which = [s for s in os.environ.get("BENCH_CONFIGS", "").split(",") if s]
+    results: list[dict] = []
+    chip = "unknown"
+    flushed = False
+
+    def flush(*_a):
+        nonlocal flushed
+        if flushed:
+            return
+        flushed = True
+        _write_detail(results, chip)
+        print(_final_lines(results, chip), flush=True)
+
+    def on_signal(signum, _frame):
+        print(f"# budget/termination signal {signum} — flushing "
+              f"{len(results)} results", flush=True)
+        flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_signal)
+    signal.signal(signal.SIGTERM, on_signal)
+    # leave time to kill a running child and flush before any outer timeout
+    signal.alarm(max(30, int(budget.total - 10)))
+
+    for name in CONFIG_ORDER:
+        if which and name not in which:
+            continue
+        remaining = budget.remaining()
+        if remaining < 90:
+            print(f"# budget exhausted ({budget.elapsed():.0f}s) — "
+                  f"skipping remaining configs", flush=True)
+            break
+        iters = n_iters if remaining > 300 else max(2, n_iters // 3)
+        tmo = max(60.0, min(cap, remaining - 30))
+        print(f"# [t={budget.elapsed():.0f}s] config {name} "
+              f"(timeout {tmo:.0f}s, iters {iters})", flush=True)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--config", name, "--iters", str(iters)]
+        try:
+            proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                    stderr=subprocess.DEVNULL, text=True)
+        except OSError as e:
+            print(f"# config {name} SPAWN FAILED: {e}", flush=True)
+            continue
+        deadline = time.monotonic() + tmo
+        got = None
+        try:
+            import selectors
+
+            sel = selectors.DefaultSelector()
+            sel.register(proc.stdout, selectors.EVENT_READ)
+            buf = ""
+            while True:
+                if time.monotonic() > deadline:
+                    proc.kill()
+                    print(f"# config {name} TIMED OUT after {tmo:.0f}s",
+                          flush=True)
+                    break
+                if not sel.select(timeout=1.0):
+                    if proc.poll() is not None:
+                        break
+                    continue
+                chunk = proc.stdout.readline()
+                if chunk == "":
+                    break
+                line = buf + chunk.rstrip("\n")
+                buf = ""
+                if line.startswith("@RESULT "):
+                    got = json.loads(line[len("@RESULT "):])
+                elif line.startswith("#"):
+                    print(line, flush=True)
+        finally:
+            try:
+                proc.kill()
+            except OSError:
+                pass
+            proc.wait()
+        if got is None:
+            rc = proc.returncode
+            print(f"# config {name} FAILED (rc={rc})", flush=True)
+            continue
+        chip = got.pop("chip", chip)
+        results.append(got)
+        print("# " + json.dumps(got), flush=True)
+        _write_detail(results, chip)
+
+    signal.alarm(0)
+    flush()
+
+
+def main():
+    args = sys.argv[1:]
+    if "--config" in args:
+        name = args[args.index("--config") + 1]
+        iters = int(args[args.index("--iters") + 1]) if "--iters" in args \
+            else int(os.environ.get("BENCH_ITERS", "6"))
+        child_main(name, iters)
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

@@ -14,8 +14,9 @@ from __future__ import annotations
 
 import dataclasses
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from bench import _render_config  # noqa: E402
 

@@ -505,9 +505,24 @@ def cmd_preview_interactive(args):
                 for k, v in cam_overrides.items():
                     setattr(scene.node(cam_node).camera, k, v)
                 renderer = Renderer(scene)
+                # preview cadence ladder: the first frames render at 1/4
+                # resolution (scale^2 cheaper) and are upscaled while the
+                # full-res accumulation converges underneath — interactive
+                # cadence on scenes whose full-res step is seconds
                 renderer.start_render(cam_node, RenderSettings(
                     width=w, height=h, spp=n, max_bounces=8,
-                    sampler="pcg4d"))
+                    sampler="pcg4d", compact_plan="auto"),
+                    preview_scale=4, preview_spp=4)
+                import time as _time
+
+                while renderer._pv is not None and \
+                        renderer._pv["done"] < renderer._pv["spp"]:
+                    t0 = _time.perf_counter()
+                    renderer.render()
+                    emit(renderer.readback())
+                    print(f"preview frame {renderer._pv['done']} "
+                          f"{(_time.perf_counter() - t0) * 1e3:.0f} ms",
+                          flush=True)
                 step = max(1, n // 4)
                 while not (renderer.status & RenderStatus.DONE):
                     for _ in range(step):

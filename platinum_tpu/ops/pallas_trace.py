@@ -140,6 +140,15 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     """
     P = p_packets
     K = pops
+    # `any_hit` may be a per-packet tuple (MIXED waves: closest packets
+    # co-scheduled with any-hit packets in one launch so their independent
+    # dependence chains interleave inside every superstep phase —
+    # VERDICT r4 #2). A bool means all packets share the mode.
+    ah = (tuple(any_hit) if isinstance(any_hit, tuple)
+          else (bool(any_hit),) * P)
+    assert len(ah) == P
+    any_hit_all = all(ah)
+    mixed = any(ah) and not any_hit_all
     SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
     MTD = MT_DRAIN if mtd is None else mtd
     # MT block-matmul precision: fp32 on the MXU costs 6 bf16 passes at
@@ -241,7 +250,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
         def best_now(p):
             b = SR * p
             best = state[b:b + 1, :]
-            if any_hit:
+            if ah[p]:
                 alive = state[b + 1:b + 2, :] < 0.0
                 best = jnp.where(alive, best, rp[p]["tmin"] - 1.0)
             return best
@@ -352,7 +361,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             s = jnp.where(det >= 0.0, 1.0, -1.0)
             absdet = det * s
             us, vs, ts = udet * s, vdet * s, tdet * s
-            if any_hit:
+            if ah[p]:
                 # occlusion only: no winner extraction, no division, no
                 # cross-block best-t dependency — roughly halves per-block
                 # vector work for shadow waves (kernel.metal's any-hit
@@ -415,7 +424,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             for p in range(1, P):
                 live = live | (sps[p] > 0)
             live = live & (it < MAX_STEPS)
-            if any_hit:
+            if any_hit_all:
                 live = live & (alive > 0)
             return live
 
@@ -616,7 +625,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
 
                     jax.lax.while_loop(drain_cond, drain_body, (lqs[p],))
 
-            if any_hit:
+            if any_hit_all:
                 acc = jnp.zeros((1, LANES), jnp.float32)
                 for p in range(P):
                     lane_ok = ((state[SR * p + 1:SR * p + 2, :] < 0.0)
@@ -696,6 +705,11 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
     """
     P = p_packets
     K = pops
+    # per-packet any-hit modes, as in _make_kernel (bool = uniform)
+    ah = (tuple(any_hit) if isinstance(any_hit, tuple)
+          else (bool(any_hit),) * P)
+    assert len(ah) == P
+    any_hit_all = all(ah)
     D = drain
     LQ = PIPE_LEAFQ
     SR = 5 if instanced else 4
@@ -749,7 +763,7 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
         def best_now(p):
             b = SR * p
             best = state[b:b + 1, :]
-            if any_hit:
+            if ah[p]:
                 alive = state[b + 1:b + 2, :] < 0.0
                 best = jnp.where(alive, best, rp[p]["tmin"] - 1.0)
             return best
@@ -810,7 +824,7 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
             s = jnp.where(det >= 0.0, 1.0, -1.0)
             absdet = det * s
             us, vs, ts = udet * s, vdet * s, tdet * s
-            if any_hit:
+            if ah[p]:
                 # occlusion only: no winner extraction, no division, no
                 # cross-block dependency (kernel.metal's any-hit accept)
                 tmax = rp[p]["tmax"]
@@ -893,7 +907,7 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
             for q in range(W):
                 live = live | (words[q] != 0)
             live = live & (it < MAX_STEPS)
-            if any_hit:
+            if any_hit_all:
                 live = live & (alive > 0)
             return live
 
@@ -993,7 +1007,7 @@ def _make_kernel_pipe(any_hit: bool, p_packets: int, pops: int, drain: int,
                              jnp.broadcast_to(valid, (1, LANES)))
                 lq2.append(jnp.maximum(q - D, 0))
 
-            if any_hit:
+            if any_hit_all:
                 acc = jnp.zeros((1, LANES), jnp.float32)
                 for p in range(P):
                     lane_ok = ((state[SR * p + 1:SR * p + 2, :] < 0.0)
@@ -1314,4 +1328,87 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     def trace_any(o, d, tmin, tmax, active=None) -> jnp.ndarray:
         return _run(o, d, tmin, tmax, active, any_hit=True).hit
 
+    def _sorted_groups(o, d, tmin, tmax, active, pk):
+        """Sort one wave and pack it into (g, pk, 8, 128) groups; returns
+        (rays, r, g, perm)."""
+        r = o.shape[0]
+        perm = None
+        if sort and r >= 2 * pk * LANES:
+            key = _ray_sort_key(o, d, scene_lo, inv_extent)
+            if active is not None:
+                key = jnp.where(active, key, jnp.int32(1 << 30))
+            perm = jnp.argsort(key)
+            o, d = o[perm], d[perm]
+            tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))[perm]
+            tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))[perm]
+            if active is not None:
+                active = active[perm]
+        rays, r, g = _pack_rays(o, d, tmin, tmax, active, pk)
+        return rays, r, g, perm
+
+    def trace_paired(oc, dc, tminc, tmaxc, oa, da, tmina, tmaxa,
+                     active_c=None, active_a=None):
+        """Co-scheduled MIXED launch (VERDICT r4 #2): trace a CLOSEST wave
+        and an independent ANY-HIT wave in ONE kernel call — half the
+        packets of every grid step walk the closest wave, half the shadow
+        wave, so the superstep phases always hold independent dependence
+        chains from BOTH walks. Returns (HitRecord for the closest wave,
+        occlusion bool vector for the any-hit wave). Falls back to two
+        launches when wave sizes differ after padding."""
+        assert n_inst == 0, "paired tracing: non-instanced only"
+        pk = packets if packets is not None else PACKETS
+        pk_half = max(1, pk // 2)
+        rays_c, r_c, g_c, perm_c = _sorted_groups(
+            oc, dc, tminc, tmaxc, active_c, pk_half)
+        rays_a, r_a, g_a, perm_a = _sorted_groups(
+            oa, da, tmina, tmaxa, active_a, pk_half)
+        g = max(g_c, g_a)
+
+        def padg(rays, gx):
+            if gx == g:
+                return rays
+            pad = jnp.zeros((g - gx,) + rays.shape[1:], rays.dtype)
+            # dead padding: tmax < tmin
+            pad = pad.at[:, :, 7, :].set(-1.0)
+            return jnp.concatenate([rays, pad], axis=0)
+
+        rays = jnp.concatenate([padg(rays_c, g_c), padg(rays_a, g_a)],
+                               axis=1)                # (g, 2*pk_half, 8, L)
+        ah_mask = (False,) * pk_half + (True,) * pk_half
+        call = _build_call(g, n_nodes, n_rows, ah_mask, interpret,
+                           pops, ordered, 0, 2 * pk_half, False, drain,
+                           profile, False, False, stream, mt_precision)
+        t, tri, u, v = call(wmeta, rays, wnodes_t, wtris)
+
+        def unpack(x, gx, rr):
+            return x[:gx, :pk_half].reshape(gx * pk_half * LANES)[:rr]
+
+        def unpack_a(x, gx, rr):
+            return x[:gx, pk_half:].reshape(gx * pk_half * LANES)[:rr]
+
+        tc = unpack(t, g_c, r_c)
+        tric = unpack(tri, g_c, r_c)
+        uc, vc = unpack(u, g_c, r_c), unpack(v, g_c, r_c)
+        if perm_c is not None:
+            packed = jnp.stack([tc, tric.astype(jnp.float32), uc, vc], -1)
+            unsorted = jnp.zeros_like(packed).at[perm_c].set(packed)
+            tc, uc, vc = unsorted[:, 0], unsorted[:, 2], unsorted[:, 3]
+            tric = unsorted[:, 1].astype(jnp.int32)
+        if wslot is not None:
+            tric = jnp.where(tric >= 0, wslot[jnp.maximum(tric, 0)], -1)
+        hitc = tric >= 0
+        rec = HitRecord(t=jnp.where(hitc, tc, INF), tri=tric,
+                        bary=jnp.stack([uc, vc], -1), hit=hitc, inst=None)
+
+        tria = unpack_a(tri, g_a, r_a)
+        if perm_a is not None:
+            occ = jnp.zeros_like(tria).at[perm_a].set(
+                (tria >= 0).astype(jnp.int32)) > 0
+        else:
+            occ = tria >= 0
+        return rec, occ
+
+    # co-scheduled mixed-wave entry rides as an attribute so the
+    # (closest, any) pair return stays source-compatible
+    trace_closest.paired = trace_paired
     return trace_closest, trace_any

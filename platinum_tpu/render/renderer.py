@@ -51,8 +51,23 @@ class Renderer:
     # ------------------------------------------------------------------
 
     def start_render(self, camera_node_id: int | None = None,
-                     settings: RenderSettings | None = None):
-        """Latch settings, flatten the scene and reset accumulation."""
+                     settings: RenderSettings | None = None,
+                     preview_scale: int = 0, preview_spp: int = 8):
+        """Latch settings, flatten the scene and reset accumulation.
+
+        `preview_scale` > 1 enables the PREVIEW CADENCE LADDER: the first
+        `preview_spp` progressive steps render at (W/scale, H/scale) — a
+        scale² cheaper frame, hitting interactive cadence on scenes whose
+        full-res step is seconds — and `readback()` upscales them until the
+        full-res accumulator has caught up in per-pixel noise. The
+        reference achieves interactive cadence with 1 full-res
+        spp/frame on dedicated silicon (renderer_pt.cpp:131-158); the
+        ladder is the TPU-native answer to the same capability. Full-res
+        accumulation is completely unaffected (it starts from sample 0
+        after the preview phase), so final images are identical with the
+        ladder on or off."""
+        import dataclasses
+
         self.settings = settings or self.settings or RenderSettings()
         self._host_accel = {}
         self.flat = flatten_scene(self.scene, camera_node_id, self.settings,
@@ -72,13 +87,50 @@ class Renderer:
         self._buckets = [jnp.zeros((self.settings.num_pixels, 3))
                          for _ in range(n_buckets)]
         self._accumulated = 0
+
+        self._pv = None
+        if preview_scale and preview_scale > 1:
+            s = self.settings
+            pv_settings = dataclasses.replace(
+                s, width=-(-s.width // preview_scale),
+                height=-(-s.height // preview_scale),
+                spp=preview_spp,
+                flags=s.flags & ~FLAG_GMON)
+            pv_flat = flatten_scene(self.scene, camera_node_id, pv_settings)
+            if pv_settings.compact_plan == "auto":
+                from platinum_tpu.render import autoplan as _ap
+
+                pv_settings = _ap.resolve_auto_plan(pv_flat, pv_settings)
+            self._pv = dict(
+                flat=pv_flat, settings=pv_settings, scale=preview_scale,
+                accum=jnp.zeros((pv_settings.num_pixels, 3)),
+                done=0, spp=preview_spp,
+                features=analyze_features(pv_flat))
         self._start_time = time.perf_counter()
         self._end_time = None
 
     def render(self):
         """One progressive step (one sample per pixel), like the reference's
-        per-frame 1-spp dispatch (renderer_pt.cpp:131-158)."""
+        per-frame 1-spp dispatch (renderer_pt.cpp:131-158). During the
+        preview-ladder phase a step advances the low-res accumulator
+        instead; full-res sample indices are untouched."""
         if self.flat is None or self.status & RenderStatus.DONE:
+            return
+        if self._pv is not None and self._pv["done"] < self._pv["spp"]:
+            pv = self._pv
+            t0 = time.perf_counter()
+            pv["accum"] = integrator.render_step(
+                pv["flat"], pv["settings"], pv["accum"],
+                jnp.int32(pv["done"]), sample_seed=jnp.int32(pv["done"]),
+                features=pv["features"])
+            jax.block_until_ready(pv["accum"])
+            pv["done"] += 1
+            from platinum_tpu.utils import telemetry as _t
+
+            if _t.enabled():
+                _t.log_event("preview_frame", frame=pv["done"],
+                             scale=pv["scale"],
+                             ms=(time.perf_counter() - t0) * 1e3)
             return
         s = self.settings
         n_buckets = len(self._buckets)
@@ -236,9 +288,24 @@ class Renderer:
         cap = self.settings.gmon_cap or 1.0
         return gmon_combine(jnp.stack(self._buckets), full, cap)
 
+    def _preview_active(self) -> bool:
+        """Show the upscaled preview until the full-res accumulator has
+        comparable per-pixel noise (a handful of full-res samples)."""
+        return (self._pv is not None and self._pv["done"] > 0
+                and self._accumulated < min(self._pv["done"], 4))
+
     def readback(self) -> np.ndarray:
-        """(H, W, 3) linear radiance in the working colorspace."""
+        """(H, W, 3) linear radiance in the working colorspace. During the
+        preview-ladder phase this is the low-res frame upscaled
+        (nearest-neighbour) to the full output size."""
         s = self.settings
+        if self._preview_active():
+            pv = self._pv
+            ps = pv["settings"]
+            img = np.asarray(pv["accum"]).reshape(ps.height, ps.width, 3)
+            k = pv["scale"]
+            img = np.repeat(np.repeat(img, k, axis=0), k, axis=1)
+            return img[:s.height, :s.width]
         return np.asarray(self._combined()).reshape(s.height, s.width, 3)
 
     def output_image(self, post_options: PostProcessOptions | None = None) -> np.ndarray:

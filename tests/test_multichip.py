@@ -345,3 +345,121 @@ def test_cli_mesh_render(cpu_mesh_env):
         assert proc.returncode == 0, proc.stderr[-2000:]
         assert "implies --stream off" in proc.stderr
         assert os.path.exists(out_g)
+
+
+def test_multihost_kill_and_resume(cpu_mesh_env, tmp_path):
+    """Failure recovery (SURVEY §5, VERDICT r3 #9): a 2-process
+    jax.distributed render is SIGKILLed mid-render after writing an
+    accumulator checkpoint; a fresh process pair resumes from the
+    checkpoint and must produce the same image as an uninterrupted run
+    (counter-based samplers + exact accumulator restore make the resumed
+    op sequence identical)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    code = """
+import os, sys
+import numpy as np, jax
+phase, proc, port = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=proc)
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from platinum_tpu.app.scenes import make_cornell_scene
+from platinum_tpu.render.flatten import flatten_scene, analyze_features
+from platinum_tpu.render.types import RenderSettings
+from platinum_tpu.parallel import multihost
+from platinum_tpu.parallel.mesh import replicate
+from platinum_tpu.parallel.shard import make_sharded_step
+
+scene, cam = make_cornell_scene()
+settings = RenderSettings(width=16, height=16, spp=8, max_bounces=2,
+                          sampler="pcg4d")
+flat = flatten_scene(scene, cam, settings)
+mesh = multihost.global_mesh()
+flat = replicate(mesh, flat)
+step = make_sharded_step(flat, settings, mesh,
+                         features=analyze_features(flat))
+sharding = NamedSharding(mesh, P("tile", None))
+ckpt = sys.argv[4]
+out = sys.argv[5]
+n_steps = settings.spp // mesh.shape["sample"]
+half = n_steps // 2
+
+if phase == "part2":
+    accum = jax.device_put(jnp.asarray(np.load(ckpt)), sharding)
+    start = half
+else:
+    accum = jax.device_put(jnp.zeros((settings.num_pixels, 3)), sharding)
+    start = 0
+
+for i in range(start, n_steps):
+    accum = step(flat, accum, jnp.int32(i))
+    if phase == "part1" and i + 1 == half:
+        if multihost.is_coordinator():
+            np.save(ckpt, np.asarray(accum))
+        print("CKPT_SAVED", flush=True)
+        import time as _t
+        _t.sleep(600)   # hold until the parent SIGKILLs us
+
+arr = np.asarray(accum)
+if multihost.is_coordinator():
+    np.save(out, arr)
+print("DONE", float(arr.mean()), flush=True)
+"""
+    env = dict(cpu_mesh_env)
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8",
+        "--xla_force_host_platform_device_count=4")
+    ckpt = str(tmp_path / "accum_ckpt.npy")
+    out_full = str(tmp_path / "full.npy")
+    out_resumed = str(tmp_path / "resumed.npy")
+
+    def launch(phase, port, out):
+        return [subprocess.Popen(
+            [sys.executable, "-c", code, phase, str(p), port, ckpt, out],
+            env=env, cwd=REPO_DIR, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True) for p in range(2)]
+
+    # uninterrupted reference
+    procs = launch("full", "49741", out_full)
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"full: {out}\n{err[-2000:]}"
+
+    # part 1: wait for the checkpoint marker, then SIGKILL both ranks
+    procs = launch("part1", "49742", out_resumed)
+    deadline = time.monotonic() + 600
+    seen = False
+    while time.monotonic() < deadline and not seen:
+        if os.path.exists(ckpt):
+            # marker file exists; give the non-coordinator a beat to pass
+            # its own save point, then kill HARD (no cleanup, no atexit)
+            time.sleep(2.0)
+            seen = True
+        else:
+            if any(p.poll() is not None for p in procs):
+                break
+            time.sleep(0.5)
+    assert seen, "checkpoint never appeared"
+    for p in procs:
+        p.send_signal(signal.SIGKILL)
+    for p in procs:
+        p.wait()
+        assert p.returncode != 0  # really killed mid-run
+
+    # part 2: fresh pair resumes from the checkpoint
+    procs = launch("part2", "49743", out_resumed)
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"part2: {out}\n{err[-2000:]}"
+
+    import numpy as np
+
+    full = np.load(out_full)
+    resumed = np.load(out_resumed)
+    err = np.abs(full - resumed).max()
+    assert err < 1e-6, err
+    assert full.mean() > 0.01
