@@ -42,17 +42,48 @@ def _configs():
         make_cornell_scene, make_furnace_scene, make_spheres_scene,
     )
 
+    from platinum_tpu.core.scene import Scene
+    from platinum_tpu.io.gltf import load_gltf
+
+    def foreign_spheres():
+        """The spheres scene routed through a foreign-layout .glb and the
+        real import path — textures/normal maps exercised through the
+        golden pipeline via a file io/gltf.py didn't write (VERDICT r3)."""
+        import copy
+        import tempfile
+
+        from platinum_tpu.tools.foreign_glb import export_glb_foreign
+
+        scene, cam = make_spheres_scene(grid=4)
+        path = os.path.join(tempfile.gettempdir(), "golden_spheres.glb")
+        export_glb_foreign(scene, path)
+        loaded = Scene()
+        load_gltf(loaded, path)
+        node_id = loaded.get_cameras()[0][0]
+        loaded.node(node_id).camera = copy.copy(scene.node(cam).camera)
+        loaded.environment = copy.copy(scene.environment)
+        return loaded, node_id
+
+    # sampler="halton" is the production default the reference's kernels
+    # actually use (kernel.metal:275,491); goldens guard that stream.
+    # cornell_pcg4d keeps the PCG4D stream regression-pinned too.
     return {
         "cornell": (make_cornell_scene(), RenderSettings(
+            width=128, height=128, spp=32, max_bounces=6, kernel="mis",
+            sampler="halton", tracer="auto")),
+        "cornell_pcg4d": (make_cornell_scene(), RenderSettings(
             width=128, height=128, spp=32, max_bounces=6, kernel="mis",
             sampler="pcg4d", tracer="auto")),
         "furnace_rough_metal": (make_furnace_scene(
             albedo=0.8, roughness=0.4, metallic=1.0), RenderSettings(
             width=96, height=96, spp=32, max_bounces=8, kernel="mis",
-            sampler="pcg4d")),
+            sampler="halton")),
         "spheres": (make_spheres_scene(grid=4), RenderSettings(
             width=128, height=128, spp=16, max_bounces=4, kernel="mis",
-            sampler="pcg4d", tracer="packet")),
+            sampler="halton", tracer="packet")),
+        "spheres_foreign_glb": (foreign_spheres(), RenderSettings(
+            width=128, height=128, spp=16, max_bounces=4, kernel="mis",
+            sampler="halton", tracer="packet")),
     }
 
 
@@ -67,8 +98,9 @@ def _rmse(a, b):
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
-@pytest.mark.parametrize("name", ["cornell", "furnace_rough_metal",
-                                  "spheres"])
+@pytest.mark.parametrize("name", ["cornell", "cornell_pcg4d",
+                                  "furnace_rough_metal", "spheres",
+                                  "spheres_foreign_glb"])
 def test_golden_rmse(name):
     path = os.path.join(GOLD_DIR, f"{name}.exr")
     if not os.path.exists(path):
