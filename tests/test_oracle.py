@@ -17,8 +17,14 @@ from oracle_pt import render_oracle
 
 W = H = 16
 SPP_PROD = 4096
-SPP_ORACLE = 4096
-DEPTH = 6
+SPP_ORACLE = 2048
+# Depth must make TRUNCATION mismatch negligible, not just small: at the
+# last bounce the production MIS estimator still collects the
+# NEE-weighted share of order-(DEPTH+1) light, which a BSDF-sampling-only
+# oracle cannot see until depth DEPTH+1. At 16 bounces the un-collected
+# residual is ~0.65^16 of the bounced component (< 0.1% of the mean),
+# far below the comparison tolerances.
+DEPTH = 16
 
 
 def _build_scene():
@@ -111,7 +117,6 @@ def _camera_params(scene, cam_id):
                 focus_dist=node.camera.focus_distance)
 
 
-@pytest.mark.slow
 def test_production_matches_independent_oracle():
     from platinum_tpu.render.flatten import analyze_features, flatten_scene
     from platinum_tpu.render.integrator import render
@@ -135,7 +140,7 @@ def test_production_matches_independent_oracle():
     pm, om = prod.mean(), oracle.mean()
     assert abs(pm - om) / om < 0.01, (pm, om)
 
-    # spatial agreement on 4x4 blocks (~65k samples each, sigma ~0.5%)
+    # spatial agreement on 4x4 blocks (~33k samples each, sigma ~0.7%)
     pb = prod.reshape(4, 4, 4, 4, 3).mean((1, 3))
     ob = oracle.reshape(4, 4, 4, 4, 3).mean((1, 3))
     rel = np.abs(pb - ob) / np.maximum(ob, 0.05)
