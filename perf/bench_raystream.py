@@ -69,6 +69,16 @@ def bounce_wave(flat, n, rng):
 
 
 def main():
+    import os
+
+    if os.environ.get("PLATINUM_TPU_RAYSTREAM_HW") != "1":
+        print("# ray-stream tracer is reference-only on this backend: its "
+              "wave-scale XLA scatter/argsort glue faults the axon TPU "
+              "runtime (bisected: the Pallas MT kernel passes alone; the "
+              "fault reproduces with the kernel in interpret mode). See "
+              "PERFORMANCE.md round-4. Set PLATINUM_TPU_RAYSTREAM_HW=1 "
+              "to run anyway.", flush=True)
+        return
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     size = 512
     settings = RenderSettings(width=size, height=size, spp=1,

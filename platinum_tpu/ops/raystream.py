@@ -91,7 +91,8 @@ def _all_leaves_single_block(meta: np.ndarray) -> bool:
 # Pallas MT kernel: sorted leaf-pair chunks, distinct-block walk
 # ---------------------------------------------------------------------------
 
-def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int):
+def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int,
+                    n_blocks: int):
     _MT_DN = (((0,), (0,)), ((), ()))
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
                     "high": None,
@@ -115,7 +116,7 @@ def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int):
 
         return d(bh, fh) + d(bh, fl) + d(bl, fh)
 
-    def kernel(bid_smem, bid_ref, feat_ref, lim_ref, tris_ref,
+    def kernel(bid_ref, feat_ref, lim_ref, tris_ref,
                t_ref, s_ref, u_ref, v_ref, state):
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (64, 1), 0).astype(jnp.float32)
@@ -132,14 +133,22 @@ def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int):
             state[3:4, :] = jnp.zeros((1, LANES))
 
             valid = bids >= 0
-            first = jnp.min(jnp.where(valid, bids, jnp.int32(1 << 30)))
+            # min-reduce via f32 (ids < 2^24 are exact; the classic kernel
+            # only ever exercises sum-reduce syncs on this toolchain)
+            bids_f = bids.astype(jnp.float32)
+            first = jnp.min(jnp.where(valid, bids_f, jnp.float32(1 << 30))
+                            ).astype(jnp.int32)
 
             def cond(c):
                 return c[0] < (1 << 30)
 
             def body(c):
                 cur = c[0]
-                blk = tris_ref[cur, 0:10, :]            # (10, 256)
+                # clamped: a garbage id must never become an OOB dynamic
+                # VMEM read (hardware returns garbage / can fault the
+                # worker; commit stays masked by `mine` regardless)
+                safe = jnp.clip(cur, 0, n_blocks - 1)
+                blk = tris_ref[safe, 0:10, :]           # (10, 256)
                 out = mt_dot(blk, feat[0:10, :])        # (256, 128)
                 det = out[0:64, :]
                 udet = out[64:128, :]
@@ -183,8 +192,9 @@ def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int):
                     state[1:2, :] = jnp.where(found, sid, state[1:2, :])
                     state[2:3, :] = jnp.where(found, u_s, state[2:3, :])
                     state[3:4, :] = jnp.where(found, v_s, state[3:4, :])
-                nxt = jnp.min(jnp.where(valid & (bids > cur), bids,
-                                        jnp.int32(1 << 30)))
+                nxt = jnp.min(jnp.where(valid & (bids > cur), bids_f,
+                                        jnp.float32(1 << 30))
+                              ).astype(jnp.int32)
                 return (nxt,)
 
             jax.lax.while_loop(cond, body, (first,))
@@ -200,13 +210,12 @@ def _make_mt_kernel(any_hit: bool, mt_prec: str, m_chunks: int):
 def _build_mt_call(g: int, n_blocks: int, any_hit: bool, interpret: bool,
                    mt_prec: str):
     M = MT_CHUNKS_PER_STEP
-    kernel = _make_mt_kernel(any_hit, mt_prec, M)
+    kernel = _make_mt_kernel(any_hit, mt_prec, M, n_blocks)
     row = pl.BlockSpec((1, M, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(g,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # (unused scalar slot)
             row,                                     # block ids (VMEM)
             pl.BlockSpec((1, M, 16, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),   # features (10 real)
@@ -241,8 +250,24 @@ def make_stream_tracer(wnodes, wtris, wmeta, wslot=None,
     wnodes: (N, 128) f32 node rows; wtris: (B, 10, 256) MT blocks; wmeta:
     (N*16,) i32 child metas; wslot: optional slot -> tri id map.
     """
+    import os
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if jax.default_backend() != "cpu" and \
+            os.environ.get("PLATINUM_TPU_RAYSTREAM_HW") != "1":
+        # Measured on the axon TPU runtime: this program class (wave-scale
+        # scatter/argsort glue) FAULTS the device ("TPU device error")
+        # even with the Pallas MT kernel in interpret mode — the fault is
+        # in the XLA-irregular-op program, not the kernel (which passes
+        # its structural bisect on hardware). Combined with the measured
+        # irregular-op costs (PERFORMANCE.md round-4 section) the stream
+        # tracer is CPU/reference-only until the all-Pallas pipeline
+        # exists. Set PLATINUM_TPU_RAYSTREAM_HW=1 to experiment anyway.
+        raise RuntimeError(
+            "ray-stream tracer is reference-only on this backend "
+            "(XLA irregular-op glue faults the TPU runtime; see "
+            "PERFORMANCE.md). Set PLATINUM_TPU_RAYSTREAM_HW=1 to force.")
     meta_np = np.asarray(wmeta)
     if depth is None:
         depth = _tree_depth(meta_np)
@@ -357,8 +382,7 @@ def make_stream_tracer(wnodes, wtris, wmeta, wslot=None,
 
             call = _build_mt_call(g, n_blocks, any_hit, interpret,
                                   mt_precision)
-            zero = jnp.zeros((1,), jnp.int32)
-            t_o, s_o, u_o, v_o = call(zero, bid3, feat_blk, lims, wtris)
+            t_o, s_o, u_o, v_o = call(bid3, feat_blk, lims, wtris)
             t_p = t_o.reshape(lcap)
             s_p = s_o.reshape(lcap)
 
