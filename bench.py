@@ -53,6 +53,7 @@ CONFIG_ORDER = [
     HEADLINE,
     "sponza_class_512_mt3_knob",
     "metalrough_spheres",
+    "metalrough_spheres_gmon",
     "helmet_env_1080p",
     "studio_loop",
     "sponza_instanced_512",
@@ -161,7 +162,10 @@ def _via_foreign_glb(scene_cam, tag: str):
     from platinum_tpu.tools.foreign_glb import export_glb_foreign
 
     scene, cam_id = scene_cam
-    path = os.path.join(tempfile.gettempdir(), f"bench_{tag}.glb")
+    # per-run unique dir: concurrent bench runs on a shared /tmp must not
+    # race on the same path or load a half-written file
+    path = os.path.join(tempfile.mkdtemp(prefix="ptpu-bench-"),
+                        f"bench_{tag}.glb")
     export_glb_foreign(scene, path)
     print(f"# {tag}: exported {os.path.getsize(path)/1e6:.1f} MB foreign "
           f".glb, loading via io/gltf.py", flush=True)
@@ -175,6 +179,33 @@ def _via_foreign_glb(scene_cam, tag: str):
         loaded.environment.texture_id = loaded.add_asset(
             scene.asset(tid), retained=True)
     return loaded, node_id
+
+
+def _edit_loop_cadence(scene, cam, settings, scale=4, frames=4):
+    """Edit-loop frame cadence with the preview ladder (VERDICT r4 #5):
+    median ms per (render + readback) preview frame at 1/scale res — the
+    number the user feels while orbiting/editing a heavy scene. Target
+    <= 300 ms (reference: 1 full-res spp/frame interactive,
+    renderer_pt.cpp:131-158)."""
+    import dataclasses
+    import time as _t
+
+    from platinum_tpu.render.renderer import Renderer
+
+    r = Renderer(scene)
+    r.start_render(cam, dataclasses.replace(settings, spp=max(settings.spp,
+                                                              frames + 1)),
+                   preview_scale=scale, preview_spp=frames)
+    r.render()          # compile + frame 0
+    r.readback()
+    times = []
+    while r._pv is not None and r._pv["done"] < r._pv["spp"]:
+        t0 = _t.perf_counter()
+        r.render()
+        r.readback()
+        times.append((_t.perf_counter() - t0) * 1e3)
+    times.sort()
+    return round(times[len(times) // 2], 1) if times else None
 
 
 def run_one_config(name: str, n_iters: int) -> dict:
@@ -232,6 +263,34 @@ def run_one_config(name: str, n_iters: int) -> dict:
             sampler="halton", tracer="packet", compact=True,
             compact_plan="auto"), n_iters)
 
+    if name == "metalrough_spheres_gmon":
+        # GMoN robust estimator END-TO-END (the reference defaults GMoN ON
+        # with 15 buckets, pt_viewport.hpp:79-101; combine gmon.metal:14-55):
+        # per-bucket accumulators + Gini-trimmed combine through the full
+        # Renderer pipeline on chip (VERDICT r4 #4).
+        from platinum_tpu.app.scenes import make_spheres_scene
+        from platinum_tpu.render.renderer import Renderer
+        from platinum_tpu.render.types import FLAG_GMON
+
+        scene, cam = make_spheres_scene()
+        settings = RenderSettings(
+            width=512, height=512, spp=32, max_bounces=6, kernel="mis",
+            sampler="halton", tracer="packet", compact=True,
+            compact_plan="auto", flags=FLAG_GMON, gmon_buckets=8)
+        r = Renderer(scene)
+        r.start_render(cam, settings=settings)
+        r.render()  # compile + first bucket step
+        t0 = time.perf_counter()
+        while not (r.status & 4):   # DONE
+            r.render()
+        img = r.readback()          # forced fetch through the GMoN combine
+        dt = (time.perf_counter() - t0) / max(settings.spp - 1, 1)
+        assert np.isfinite(img).all() and img.mean() > 0.0
+        return {"ms_per_spp": round(dt * 1e3, 2),
+                "spp_per_sec": round(1.0 / dt, 2),
+                "gmon_buckets": settings.gmon_buckets,
+                "cfg": _fingerprint(settings, r.flat)}
+
     if name == "helmet_env_1080p":
         return _measure(
             _via_foreign_glb(make_helmet_scene(), "helmet"),
@@ -280,8 +339,10 @@ def run_one_config(name: str, n_iters: int) -> dict:
         img = loop(0)
         dt = _timeit(lambda i: loop(i)[:1, :1], n_iters) / 2
         write_png("/tmp/bench_studio.png", np.asarray(img))
+        interact = _edit_loop_cadence(scene, cam, settings)
         return {"ms_per_spp": round(dt * 1e3, 2),
                 "spp_per_sec": round(1.0 / dt, 2),
+                "interact_ms_per_frame": interact,
                 "cfg": _fingerprint(settings, flat)}
 
     if name == "bistro_class_studio":
@@ -309,11 +370,13 @@ def run_one_config(name: str, n_iters: int) -> dict:
                                  jnp.int32(2 * (i + 1)), 2, features=feats)
 
         dt = _timeit(lambda i: bloop(i), max(2, n_iters // 3)) / 2
+        interact = _edit_loop_cadence(scene, cam, settings)
         return {"tris": int(flat.geometry.indices.shape[0]),
                 "partitions": len(flat.wbvh_parts) if flat.wbvh_parts else 1,
                 "stream": bool(flat.wbvh_stream),
                 "ms_per_spp": round(dt * 1e3, 2),
                 "spp_per_sec": round(1.0 / dt, 2),
+                "interact_ms_per_frame": interact,
                 "cfg": _fingerprint(settings, flat)}
 
     raise ValueError(f"unknown config {name!r}")

@@ -44,9 +44,21 @@ def _load_scene(path: str):
         cams = scene.get_cameras()
         return scene, (cams[0][0] if cams else None)
     if path.endswith(".ptscene") or path.endswith(".json"):
-        from platinum_tpu.io.sceneio import load_scene
+        from platinum_tpu.io.refscene import (
+            is_reference_scene, load_reference_scene,
+        )
 
-        scene = load_scene(path)
+        if is_reference_scene(path):
+            # a scene saved by the reference app (scene.cpp:536-627 JSON +
+            # _data.bin sidecar) loads directly
+            from platinum_tpu.core.scene import Scene
+
+            scene = Scene()
+            load_reference_scene(scene, path)
+        else:
+            from platinum_tpu.io.sceneio import load_scene
+
+            scene = load_scene(path)
         cams = scene.get_cameras()
         return scene, (cams[0][0] if cams else None)
     raise SystemExit(f"unknown scene: {path}")
@@ -124,7 +136,9 @@ def cmd_render(args):
         return _render_on_mesh(args, scene, cam_id, settings, post)
 
     renderer = Renderer(scene, post)
-    renderer.start_render(cam_id, settings)
+    pv_scale = max(0, getattr(args, "preview_scale", 0) or 0)
+    renderer.start_render(cam_id, settings, preview_scale=pv_scale,
+                          preview_spp=4)
     t0 = time.perf_counter()
     last = t0
     watch_every = max(0, getattr(args, "watch", 0))
@@ -603,6 +617,11 @@ def build_parser():
                         "compaction schedule to them (render/autoplan.py)")
     r.add_argument("--watch", metavar="N", type=int, default=0,
                    help="progressive preview: rewrite the output every N spp")
+    r.add_argument("--preview-scale", metavar="K", type=int, default=0,
+                   dest="preview_scale",
+                   help="preview cadence ladder: first frames render at "
+                        "(W/K, H/K) and upscale while full-res accumulation "
+                        "converges underneath (final image identical)")
     r.add_argument("--mesh", metavar="AXES", default=None,
                    help="multi-device render over a named mesh, e.g. "
                         "'sample=2,tile=4' or 'sample=2,tile=2,geom=2' "

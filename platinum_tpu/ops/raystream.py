@@ -58,6 +58,10 @@ MT_CHUNKS_PER_STEP = 16
 # ~0.7R; sim_raystream prints the profile for any scene)
 PAIR_CAPS = (2.0, 2.0, 1.5, 1.5, 1.25, 1.25, 1.25, 1.25)
 LEAF_CAP = 1.5   # leaf (ray, block) pairs per level, x R
+# Small waves on dense trees need more than K*R pairs (a single ray can
+# touch hundreds of nodes); every cap gets at least this floor. Overflow
+# past a cap now raises through the public API instead of dropping pairs.
+CAP_FLOOR = 16384
 
 
 def _tree_depth(meta: np.ndarray) -> int:
@@ -357,7 +361,8 @@ def make_stream_tracer(wnodes, wtris, wmeta, wslot=None,
             leaf = hit & (mts <= -2)
 
             # ---- leaf pairs -> sorted by block -> MT kernel
-            lcap = -(-int(LEAF_CAP * R) // (LANES * MT_CHUNKS_PER_STEP)) \
+            lcap = -(-max(int(LEAF_CAP * R), CAP_FLOOR)
+                     // (LANES * MT_CHUNKS_PER_STEP)) \
                 * (LANES * MT_CHUNKS_PER_STEP)
             blocks_all = (-mts - 2) >> 5
             pair_rays = jnp.broadcast_to(pr[:, None], mts.shape)
@@ -415,7 +420,8 @@ def make_stream_tracer(wnodes, wtris, wmeta, wslot=None,
             # ---- next level pairs
             if level == depth:
                 break
-            cap = int(PAIR_CAPS[min(level, len(PAIR_CAPS) - 1)] * R)
+            cap = max(int(PAIR_CAPS[min(level, len(PAIR_CAPS) - 1)] * R),
+                      CAP_FLOOR)
             npn, icnt = _compact(mts, inner, cap, jnp.int32(-1))
             npr, _ = _compact(pair_rays, inner, cap, jnp.int32(0))
             overflow = overflow + jnp.maximum(icnt - cap, 0)
@@ -440,12 +446,37 @@ def make_stream_tracer(wnodes, wtris, wmeta, wslot=None,
         )
         return rec, overflow
 
+    def _checked(ovf):
+        """Surface capacity overflow instead of silently dropping pairs.
+
+        The static PAIR_CAPS/LEAF_CAP capacities bound each level's pair
+        lists; _compact DROPS pairs beyond them, which would violate the
+        "never skip a hit" contract. The public entry points therefore
+        fail loudly when any level overflowed (io_callback is ordered, so
+        the error fires before results are consumed; this module is
+        CPU/reference-gated, where the callback cost is irrelevant)."""
+        import jax.experimental
+
+        def _raise(v):
+            if int(v) > 0:
+                raise RuntimeError(
+                    f"ray-stream tracer overflowed its static pair "
+                    f"capacities by {int(v)} pairs (PAIR_CAPS/LEAF_CAP); "
+                    f"results would silently miss hits. Raise the caps or "
+                    f"use .with_overflow to handle it.")
+            return np.int32(0)
+
+        return jax.experimental.io_callback(
+            _raise, jax.ShapeDtypeStruct((), jnp.int32), ovf, ordered=True)
+
     def trace_closest(o, d, tmin, tmax, active=None):
-        rec, _ = _run(o, d, tmin, tmax, active, any_hit=False)
+        rec, ovf = _run(o, d, tmin, tmax, active, any_hit=False)
+        _checked(ovf)
         return rec
 
     def trace_any(o, d, tmin, tmax, active=None):
-        occ, _ = _run(o, d, tmin, tmax, active, any_hit=True)
+        occ, ovf = _run(o, d, tmin, tmax, active, any_hit=True)
+        _checked(ovf)
         return occ
 
     trace_closest.with_overflow = functools.partial(_run, any_hit=False)

@@ -95,6 +95,9 @@ class Renderer:
                 s, width=-(-s.width // preview_scale),
                 height=-(-s.height // preview_scale),
                 spp=preview_spp,
+                # preview steps are single-spp render_step calls; inheriting
+                # a caller's spp_batch > 1 would raise at the first step
+                spp_batch=1,
                 flags=s.flags & ~FLAG_GMON)
             pv_flat = flatten_scene(self.scene, camera_node_id, pv_settings)
             if pv_settings.compact_plan == "auto":
@@ -138,12 +141,31 @@ class Renderer:
         bucket = min(self._accumulated // samples_per_bucket, n_buckets - 1)
         local_idx = self._accumulated % samples_per_bucket
 
-        self._buckets[bucket] = integrator.render_step(
-            self.flat, s, self._buckets[bucket], jnp.int32(local_idx),
-            sample_seed=jnp.int32(self._accumulated),
-            features=self._features,
-        )
-        self._accumulated += 1
+        B = max(1, s.spp_batch)
+        if B > 1:
+            # sample-batched wavefronts: one call advances B samples (the
+            # progressive cadence coarsens to B). GMoN bucket boundaries
+            # must stay sample-exact, so batching requires one bucket.
+            if n_buckets > 1:
+                raise ValueError("spp_batch > 1 is incompatible with GMoN "
+                                 "bucketing; use spp_batch=1")
+            take = min(B, s.spp - self._accumulated)
+            if take % B != 0:
+                raise ValueError(f"settings.spp ({s.spp}) must be a "
+                                 f"multiple of spp_batch ({B})")
+            self._buckets[0] = integrator.render_step_n(
+                self.flat, s, self._buckets[0],
+                jnp.int32(self._accumulated), take,
+                features=self._features,
+            )
+            self._accumulated += take
+        else:
+            self._buckets[bucket] = integrator.render_step(
+                self.flat, s, self._buckets[bucket], jnp.int32(local_idx),
+                sample_seed=jnp.int32(self._accumulated),
+                features=self._features,
+            )
+            self._accumulated += 1
         # structured telemetry (PLATINUM_TPU_LOG=1): spp/sec + paths/sec
         from platinum_tpu.utils import telemetry
 
@@ -291,8 +313,12 @@ class Renderer:
     def _preview_active(self) -> bool:
         """Show the upscaled preview until the full-res accumulator has
         comparable per-pixel noise (a handful of full-res samples)."""
+        # Never past the end of the render: with spp < 4 the full-res
+        # accumulator IS the finished image once _accumulated == spp, and
+        # readback()/export must return it, not the upscaled preview.
         return (self._pv is not None and self._pv["done"] > 0
-                and self._accumulated < min(self._pv["done"], 4))
+                and self._accumulated < min(self._pv["done"], 4,
+                                            self.settings.spp))
 
     def readback(self) -> np.ndarray:
         """(H, W, 3) linear radiance in the working colorspace. During the

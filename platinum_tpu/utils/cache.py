@@ -130,7 +130,10 @@ def _entry_features(path: str) -> frozenset[bytes] | None:
                 try:
                     import zstandard
                 except ImportError:
-                    return frozenset()  # cannot inspect; don't quarantine
+                    # cannot inspect a compressed entry: treat as dangerous
+                    # (recompiling is always safe; loading a wrong-target
+                    # artifact is not)
+                    return None
                 reader = zstandard.ZstdDecompressor().stream_reader(f)
             else:
                 reader = f
@@ -318,16 +321,16 @@ def _scan_and_quarantine(path: str) -> None:
         elif fs and witness is not None and fs != witness:
             bad.append(n)
     if witness is None and bearing:
-        # No witness available (this process serializes HLO-only entries).
-        # If the feature-bearing entries disagree among themselves the dir
-        # has mixed provenance — quarantine all of them; recompiling is
-        # always safe, loading a wrong-target artifact is not.
-        distinct = set()
-        for fs in bearing.values():
-            distinct |= fs
-        if len({frozenset([d]) for d in distinct}) > 1 or len(
-                {tuple(sorted(fs)) for fs in bearing.values()}) > 1:
-            bad.extend(n for n in bearing if n not in bad)
+        # No witness available (the subprocess timed out / failed, or this
+        # process serializes HLO-only entries). Feature-bearing entries
+        # cannot be proven self-compiled without a witness — a self-
+        # consistent FOREIGN set would pass a consensus check and still
+        # crash at load. Quarantine all of them; recompiling is always
+        # safe, loading a wrong-target artifact is not.
+        print("# platinum_tpu cache: no witness available; quarantining "
+              f"{len(bearing)} uninspectable feature-bearing entries",
+              flush=True)
+        bad.extend(n for n in bearing if n not in bad)
 
     for n in bad:
         try:

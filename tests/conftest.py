@@ -16,6 +16,20 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Modules whose tests spawn subprocess compiles or multi-minute on-chip
+# renders. `pytest -m "not slow"` is the sub-5-minute inner loop; the full
+# suite (default invocation) still runs everything.
+_SLOW_MODULES = {
+    "test_cache", "test_stream", "test_raystream", "test_multichip",
+    "test_golden", "test_oracle", "test_bfstream",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def cpu_mesh_env():

@@ -55,7 +55,10 @@ def _configs():
         from platinum_tpu.tools.foreign_glb import export_glb_foreign
 
         scene, cam = make_spheres_scene(grid=4)
-        path = os.path.join(tempfile.gettempdir(), "golden_spheres.glb")
+        # per-run unique dir: concurrent runs on a shared /tmp must never
+        # race on (or load a half-written copy of) the same path
+        path = os.path.join(tempfile.mkdtemp(prefix="ptpu-golden-"),
+                            "golden_spheres.glb")
         export_glb_foreign(scene, path)
         loaded = Scene()
         load_gltf(loaded, path)
@@ -113,10 +116,54 @@ def _configs():
                                   target=[0, 0.8, 0], track=True)
         return scene, cam.id
 
+    def gmon_spheres():
+        """Spheres + an injected firefly emitter under GMoN (8 buckets):
+        the robust estimator the reference defaults ON
+        (pt_viewport.hpp:79-101, gmon.metal:14-55) exercised on chip
+        through the FULL pipeline (VERDICT r4 #4). The tiny ultra-bright
+        cube produces rare high-energy BSDF-path spikes that GMoN's
+        Gini-trimmed mean suppresses."""
+        from platinum_tpu.core import primitives
+        from platinum_tpu.core.material import Material
+        from platinum_tpu.core.transform import Transform
+
+        scene, cam = make_spheres_scene(grid=4)
+        fid = scene.add_asset(primitives.cube(1.0))
+        f = scene.create_node("firefly")
+        scene.set_mesh(f.id, fid)
+        scene.set_material(f.id, 0, scene.add_asset(Material(
+            name="firefly", base_color=(0, 0, 0, 1),
+            emission=(1.0, 0.8, 0.5), emission_strength=2.0e4)))
+        f.transform = Transform(translation=[0.0, 2.5, 0.0],
+                                scale=[0.008, 0.008, 0.008])
+        return scene, cam
+
+    def dof_cornell():
+        """Cornell through a wide-open 5-blade aperture (roundness 0.2,
+        bokeh power 0.5): pins the polygonal-aperture DoF path
+        (kernel.metal:195-238) in an end-to-end golden (VERDICT r4 #8) —
+        the foreground box edge defocuses, the focus plane stays sharp."""
+        scene, cam = make_cornell_scene()
+        c = scene.node(cam).camera
+        c.aperture = 1.4
+        c.aperture_blades = 5
+        c.roundness = 0.2
+        c.bokeh_power = 0.5
+        return scene, cam
+
     # sampler="halton" is the production default the reference's kernels
     # actually use (kernel.metal:275,491); goldens guard that stream.
     # cornell_pcg4d keeps the PCG4D stream regression-pinned too.
+    from platinum_tpu.render.types import FLAG_GMON
+
     return {
+        "cornell_dof": (dof_cornell(), RenderSettings(
+            width=128, height=128, spp=32, max_bounces=4, kernel="mis",
+            sampler="halton")),
+        "spheres_gmon": (gmon_spheres(), RenderSettings(
+            width=128, height=128, spp=32, max_bounces=4, kernel="mis",
+            sampler="halton", tracer="packet", flags=FLAG_GMON,
+            gmon_buckets=8)),
         "cutout_shadows": (cutout_scene(), RenderSettings(
             width=128, height=128, spp=32, max_bounces=4, kernel="mis",
             sampler="halton")),
@@ -141,6 +188,18 @@ def _configs():
 
 def _render(name):
     (scene, cam), settings = _configs()[name]
+    from platinum_tpu.render.types import FLAG_GMON
+
+    if settings.flags & FLAG_GMON:
+        # GMoN bucketing lives in the Renderer (per-bucket accumulators +
+        # gmon_combine), so its golden runs the full production pipeline
+        from platinum_tpu.render.renderer import Renderer, RenderStatus
+
+        r = Renderer(scene)
+        r.start_render(cam, settings=settings)
+        while not (r.status & RenderStatus.DONE):
+            r.render()
+        return np.asarray(r.readback())
     flat = flatten_scene(scene, cam, settings, accel_min_tris=32)
     return np.asarray(render(flat, settings,
                              features=analyze_features(flat)))
@@ -152,7 +211,8 @@ def _rmse(a, b):
 
 @pytest.mark.parametrize("name", ["cornell", "cornell_pcg4d",
                                   "furnace_rough_metal", "spheres",
-                                  "spheres_foreign_glb", "cutout_shadows"])
+                                  "spheres_foreign_glb", "cutout_shadows",
+                                  "spheres_gmon", "cornell_dof"])
 def test_golden_rmse(name):
     path = os.path.join(GOLD_DIR, f"{name}.exr")
     if not os.path.exists(path):
@@ -243,13 +303,19 @@ def test_analytic_lambert_plane():
     assert abs(c - a * e) < 0.01, c
 
 
-def bless():
+def bless(only=None):
+    """`python tests/test_golden.py bless [name]` — no name re-blesses
+    everything; a name blesses just that golden (adding a new config must
+    not silently re-bless the existing ones)."""
     os.makedirs(GOLD_DIR, exist_ok=True)
     for name in _configs():
+        if only and name != only:
+            continue
         img = _render(name)
         write_exr(os.path.join(GOLD_DIR, f"{name}.exr"), img)
         print(f"blessed {name}: mean {img.mean():.4f}")
 
 
 if __name__ == "__main__" and "bless" in sys.argv:
-    bless()
+    args = [a for a in sys.argv[1:] if a != "bless"]
+    bless(only=args[0] if args else None)
