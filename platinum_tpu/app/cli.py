@@ -638,12 +638,16 @@ def build_parser():
                    help="HBM leaf-block streaming: beyond-VMEM scenes "
                         "trace as one structure with DMA-staged blocks "
                         "instead of partitioned passes")
-    r.add_argument("--mt-precision", choices=["highest", "high", "default"],
+    r.add_argument("--mt-precision",
+                   choices=["highest", "two_phase", "high", "default"],
                    default="highest", dest="mt_precision",
                    help="MT intersection matmul precision: highest = "
-                        "fp32-exact (6 MXU passes); high = bf16x3 "
-                        "(3 passes, measured -13%% e2e, borderline-hit "
-                        "drift only); default = 1-pass bf16 (testing)")
+                        "fp32-exact (6 MXU passes); two_phase = bf16x3 "
+                        "broad phase + exact fp32 re-intersection of the "
+                        "winning candidate blocks (exact winners, fewer "
+                        "passes); high = bf16x3 (3 passes, measured "
+                        "-13%% e2e, borderline-hit drift only); default "
+                        "= 1-pass bf16 (testing)")
     r.add_argument("--no-multiscatter", action="store_true")
     r.add_argument("--gmon", type=int, default=0, help="GMoN bucket count")
     r.add_argument("--gmon-cap", type=float, default=1.0)

@@ -149,7 +149,9 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     assert len(ah) == P
     any_hit_all = all(ah)
     mixed = any(ah) and not any_hit_all
-    SR = 5 if instanced else 4   # per-packet state rows (t, id, u, v[, inst])
+    # per-packet state rows: (t, id, u, v[, inst]); two_phase adds one —
+    # broad rows are [t_cull, t1, b1, t2, b2[, inst]] during traversal
+    SR = (5 if instanced else 4) + (1 if mt_prec == "two_phase" else 0)
     MTD = MT_DRAIN if mtd is None else mtd
     # MT block-matmul precision: fp32 on the MXU costs 6 bf16 passes at
     # HIGHEST, 1 at DEFAULT. HIGHEST is the oracle-exact default; the
@@ -160,17 +162,34 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
     # three 1-pass matmuls (A·B ≈ Ah·Bh + Ah·Bl + Al·Bh — the classic
     # bf16x3 decomposition; split error ~2^-16, amplified to ~1e-4..1e-3
     # on t by the cancellation in the MT determinant differences).
+    # "two_phase" (VERDICT r4 #2): a bf16x3 BROAD phase selects each lane's
+    # top-2 candidate blocks during traversal (3 MXU passes/block, and no
+    # winner extraction at all), then a REFINE pass re-intersects only the
+    # candidate blocks in exact fp32 (6 passes each, typically a handful of
+    # distinct blocks per packet) — exact winner selection for ~half the
+    # broad-phase MXU passes. Expansion/candidate culling is widened by
+    # TP_REL/TP_ABS so the bf16x3 error bound can never cull the true
+    # winner; the refine re-tests the second candidate whenever its broad
+    # t is within that bound of the first. (Exactness caveat, documented:
+    # >= 3 distinct blocks inside the ~1e-5-relative bound of the winner
+    # would need a 3rd candidate slot; that requires three distinct leaf
+    # BLOCKS intersecting within ~2^-17 relative t.)
+    two_phase = mt_prec == "two_phase"
+    TP_REL = 1e-5
+    TP_ABS = 1e-6
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
                     "high": None,
+                    "two_phase": None,
                     "default": jax.lax.Precision.DEFAULT}[mt_prec]
     _MT_DN = (((0,), (0,)), ((), ()))
 
-    def mt_dot(blk, feat):
-        if mt_prec != "high":
+    def mt_dot(blk, feat, exact=False):
+        if mt_prec == "highest" or mt_prec == "default" or exact:
             return jax.lax.dot_general(
                 blk, feat, dimension_numbers=_MT_DN,
                 preferred_element_type=jnp.float32,
-                precision=MT_PRECISION)
+                precision=(jax.lax.Precision.HIGHEST if exact
+                           else MT_PRECISION))
         bh = blk.astype(jnp.bfloat16)
         fh = feat.astype(jnp.bfloat16)
         bl = (blk - bh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -241,9 +260,16 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             b = SR * p
             state[b:b + 1, :] = tmax
             state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
-            state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
-            state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
-            if instanced:
+            if two_phase and not ah[p]:
+                # broad rows: [t_cull=tmax, t1=+s, b1=-1, t2=+s, b2=-1]
+                state[b + 1:b + 2, :] = jnp.full((1, LANES), 3e38)
+                state[b + 2:b + 3, :] = jnp.full((1, LANES), -1.0)
+                state[b + 3:b + 4, :] = jnp.full((1, LANES), 3e38)
+                state[b + 4:b + 5, :] = jnp.full((1, LANES), -1.0)
+            else:
+                state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
+                state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
+            if instanced and not (two_phase and not ah[p]):
                 state[b + 4:b + 5, :] = jnp.zeros((1, LANES))
             nstack[p * STACK] = 0
 
@@ -253,6 +279,10 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             if ah[p]:
                 alive = state[b + 1:b + 2, :] < 0.0
                 best = jnp.where(alive, best, rp[p]["tmin"] - 1.0)
+            elif two_phase:
+                # widen: the bf16x3 error bound must never cull the true
+                # winner during traversal / candidate admission
+                best = best * (1.0 + TP_REL) + TP_ABS
             return best
 
         def expand_vec(p, rec, best):
@@ -309,7 +339,8 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             # (== bitwise OR) transfers the whole word in one sync
             return vec
 
-        def mt_block(p, block_idx, best0, commit, slot=None, valid=None):
+        def mt_block(p, block_idx, best0, commit, slot=None, valid=None,
+                     refine=False):
             """Möller-Trumbore via the MXU: one coefficient block = 64
             triangles x 128 rays in one matmul (accel.wide has the
             factorisation). Candidate culling uses best0 (superstep
@@ -320,6 +351,7 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
             if profile == "nomt":
                 return
             b = SR * p
+            block_tag = block_idx        # tagged id (instanced keeps inst)
             tmin = rp[p]["tmin"]
             feat0 = fscr[p] if FEAT_SCRATCH else rp[p]["feat"]
             if instanced:
@@ -352,7 +384,9 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 blk = ring[slot, 0:10, :]               # (10, 256)
             else:
                 blk = tris_ref[block_idx]               # (10, 256)
-            out = mt_dot(blk, feat)                      # (256, 128)
+            # any-hit keeps exact fp32 even under two_phase (occlusion
+            # has no refine pass to correct borderline flips)
+            out = mt_dot(blk, feat, exact=refine or ah[p])  # (256, 128)
             det = out[0:64, :]
             udet = out[64:128, :]
             vdet = out[128:192, :]
@@ -377,6 +411,72 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
                 occ = (anyh > 0.0) & commit
                 state[b + 1:b + 2, :] = jnp.where(
                     occ, 1.0, state[b + 1:b + 2, :])
+                return
+            if two_phase and not refine:
+                # BROAD phase: bf16x3 MT + ONE extra 1-pass magnitude
+                # matmul = 4 MXU passes vs HIGHEST's 6, and no winner
+                # extraction. The bf16x3 error is CANCELLATION-amplified
+                # (~2^-16 of the largest contributing product, NOT of the
+                # result), so every test uses the per-element bound
+                # e = K * (|blk| @ |feat|). Two tracks per lane:
+                #  - CANDIDATES: top-2 blocks by the e-WIDENED test
+                #    (noise may only ADMIT extras, never reject a true
+                #    fp32 hit); sign-unreliable dets (|det| <= e_det,
+                #    ultra-grazing) are admitted as last-resort
+                #    candidates;
+                #  - CULL BOUND (row b): min over e-SHRUNKEN clearly-
+                #    inside hits (provably real fp32 hits) via the sound
+                #    upper bound (ts+e_t)/(ad-e_det). Unconfirmed
+                #    candidates never cull: a near-edge phantom in front
+                #    of the true winner would otherwise cull its subtree.
+                mag = jax.lax.dot_general(
+                    jnp.abs(blk).astype(jnp.bfloat16),
+                    jnp.abs(feat).astype(jnp.bfloat16),
+                    dimension_numbers=_MT_DN,
+                    preferred_element_type=jnp.float32)
+                K = 1.25e-4               # ~2^-13: the 2^-16 lo*lo
+                e_det = K * mag[0:64, :]  # residual with 8x headroom
+                e_u = K * mag[64:128, :]
+                e_v = K * mag[128:192, :]
+                e_t = K * mag[192:256, :]
+                unrel = (absdet <= e_det) & (mag[0:64, :] > 0.0)
+                solid = absdet > e_det
+                loose = (unrel
+                         | (solid
+                            & (us >= -e_u) & (vs >= -e_v)
+                            & (us + vs <= absdet + e_u + e_v + e_det)
+                            & (ts > tmin * absdet - tmin * e_det - e_t
+                               - TP_ABS)))
+                strict = (solid
+                          & (us >= e_u) & (vs >= e_v)
+                          & (us + vs <= absdet - e_u - e_v - e_det)
+                          & (ts > tmin * absdet + tmin * e_det + e_t
+                             + TP_ABS))
+                inv_ad = 1.0 / jnp.maximum(absdet, 1e-37)
+                tl_val = jnp.where(unrel, 3e36, ts * inv_ad)
+                tL = jnp.min(jnp.where(loose, tl_val, jnp.inf),
+                             axis=0, keepdims=True)
+                ts_safe = (ts + e_t) / jnp.maximum(absdet - e_det, 1e-37)
+                tS = jnp.min(jnp.where(strict, ts_safe, jnp.inf),
+                             axis=0, keepdims=True)
+                bf_id = jnp.asarray(block_tag, jnp.float32)
+                cull = state[b:b + 1, :]
+                t1 = state[b + 1:b + 2, :]
+                b1 = state[b + 2:b + 3, :]
+                t2 = state[b + 3:b + 4, :]
+                b2 = state[b + 4:b + 5, :]
+                got = (tL < 3e37) & commit
+                better1 = got & (tL < t1)
+                better2 = got & jnp.logical_not(better1) & (tL < t2)
+                state[b + 1:b + 2, :] = jnp.where(better1, tL, t1)
+                state[b + 2:b + 3, :] = jnp.where(better1, bf_id, b1)
+                state[b + 3:b + 4, :] = jnp.where(
+                    better1, t1, jnp.where(better2, tL, t2))
+                state[b + 4:b + 5, :] = jnp.where(
+                    better1, b1, jnp.where(better2, bf_id, b2))
+                newc = tS + TP_ABS
+                state[b:b + 1, :] = jnp.where(
+                    (tS < 3e37) & commit & (newc < cull), newc, cull)
                 return
             ok = (
                 (absdet > DET_EPS)
@@ -639,6 +739,45 @@ def _make_kernel(any_hit: bool, p_packets: int, pops: int, ordered: bool,
         sp0 = jnp.int32(0 if profile == "empty" else 1)
         init = tuple(sp0 for _ in range(P)) + (jnp.int32(0), jnp.int32(1))
         fin = jax.lax.while_loop(cond, body, init)
+
+        if two_phase:
+            # REFINE: re-intersect each lane's candidate block(s) in exact
+            # fp32. The 2nd candidate is re-tested only when its broad t
+            # lies within the bf16x3 error bound of the 1st. Distinct
+            # candidate ids walked by min-scan (ids < 2^24 exact in f32).
+            sent = jnp.float32(1 << 30)
+            for p in range(P):
+                if ah[p]:
+                    continue
+                b = SR * p
+                c1 = state[b + 2:b + 3, :]
+                c2 = state[b + 4:b + 5, :]
+                state[b:b + 1, :] = rp[p]["tmax"]
+                state[b + 1:b + 2, :] = jnp.full((1, LANES), -1.0)
+                state[b + 2:b + 3, :] = jnp.zeros((1, LANES))
+                state[b + 3:b + 4, :] = jnp.zeros((1, LANES))
+                if instanced:
+                    state[b + 4:b + 5, :] = jnp.zeros((1, LANES))
+                first = jnp.minimum(
+                    jnp.min(jnp.where(c1 >= 0, c1, sent)),
+                    jnp.min(jnp.where(c2 >= 0, c2, sent))
+                ).astype(jnp.int32)
+
+                def rcond(c):
+                    return c[0] < (1 << 30)
+
+                def rbody(c, p=p, c1=c1, c2=c2):
+                    cur = c[0]
+                    curf = cur.astype(jnp.float32)
+                    commit = (c1 == curf) | (c2 == curf)
+                    mt_block(p, cur, rp[p]["tmax"], commit, refine=True)
+                    nxt = jnp.minimum(
+                        jnp.min(jnp.where(c1 > curf, c1, sent)),
+                        jnp.min(jnp.where(c2 > curf, c2, sent))
+                    ).astype(jnp.int32)
+                    return (nxt,)
+
+                jax.lax.while_loop(rcond, rbody, (first,))
 
         for p in range(P):
             b = SR * p
@@ -1057,6 +1196,10 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
         assert not pipe and not FUSED_DRAIN and profile == "none", (
             "streamed leaf blocks are implemented on the default "
             "per-packet-drain kernel only")
+    if mt_prec == "two_phase":
+        assert not stream and not pipe, (
+            "two_phase MT precision requires resident blocks on the "
+            "classic kernel (refine re-reads candidate blocks)")
     if pipe:
         kernel = _make_kernel_pipe(any_hit, PACKETS, pops, drain, instanced,
                                    flat_walk)
@@ -1066,7 +1209,7 @@ def _build_call(g: int, n_nodes: int, n_rows: int, any_hit: bool,
                               profile, mtd=drain, oct_order=oct_order,
                               stream=stream, mt_prec=mt_prec)
         leafq = LEAFQ
-    sr = 5 if instanced else 4
+    sr = (5 if instanced else 4) + (1 if mt_prec == "two_phase" else 0)
     pkt = pl.BlockSpec((1, PACKETS, LANES), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     in_specs = [
@@ -1252,6 +1395,17 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
     if inst_feat is not None:
         inst_feat = jnp.asarray(inst_feat, jnp.float32)
         n_inst = inst_feat.shape[0]
+    elif not isinstance(wmeta, jax.core.Tracer):
+        # an INSTANCED tree (accel.tlas: leaf vals carry inst << 19) fed
+        # without inst_feat would silently decode garbage block ids —
+        # detectable because plain block ids never exceed the block count
+        mv = np.asarray(wmeta)
+        lv = -mv[mv <= -2] - 2
+        if lv.size and int((lv >> 5).max()) >= int(wtris.shape[0]):
+            raise ValueError(
+                "instanced wide-BVH (leaf vals carry instance tags) passed "
+                "without inst_feat; pass the (I, 10, 128) feature "
+                "transforms from accel.tlas / render.flatten")
     n_nodes, n_rows = wnodes.shape[0], wtris.shape[0]
     wnodes_t = wnodes.reshape(n_nodes, 16, 8)
     if sort is None:

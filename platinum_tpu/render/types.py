@@ -279,9 +279,13 @@ class RenderSettings:
                                    # partition_tris for baked soups)
     mt_precision: str = "highest"  # MT block-matmul MXU precision:
                                    # "highest" (6-pass fp32, oracle-exact
-                                   # default) | "high" (3-pass bf16x3,
-                                   # measured -13% e2e, ~2^-22 borderline
-                                   # winner drift only) | "default"
+                                   # default) | "two_phase" (4-pass bf16x3
+                                   # broad phase + exact fp32 re-
+                                   # intersection of each lane's top-2
+                                   # candidate blocks: exact winners for
+                                   # fewer MXU passes) | "high" (3-pass
+                                   # bf16x3, ~2^-22 borderline winner
+                                   # drift) | "default"
                                    # (1-pass bf16 — image-breaking, RMSE
                                    # 1.7; testing only). See
                                    # perf/bench_precision.py, PERFORMANCE.md
