@@ -13,6 +13,9 @@ Reports, per precision tier, same-process: headline ms/spp and the
 image RMSE vs the HIGHEST render (equal sampler streams, so the RMSE is
 purely intersection drift — the fidelity cost of the speedup).
 
+"two_phase" (round 5) adds the 4-pass bf16x3 broad + exact-fp32-refine
+tier whose hit sets are EXACT (rmse vs highest must read ~0).
+
 Usage (relay up): python perf/bench_precision.py [quick]
 """
 
@@ -55,7 +58,7 @@ def main():
                           kernel="mis", sampler="pcg4d", tracer="packet",
                           compact=True, instancing="off")
     ref_img = None
-    for prec in ("highest", "high", "default"):
+    for prec in ("highest", "two_phase", "high", "default"):
         s = replace(base, mt_precision=prec)
         flat = flatten_scene(scene, cam, s)
         feats = analyze_features(flat)
