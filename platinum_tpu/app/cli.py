@@ -606,7 +606,8 @@ def build_parser():
     r.add_argument("--camera", type=int, default=-1, help="camera node id")
     r.add_argument("--kernel", choices=["simple", "mis"], default="mis")
     r.add_argument("--sampler", choices=["halton", "pcg4d", "z"], default="halton")
-    r.add_argument("--tracer", choices=["auto", "brute", "bvh", "packet"],
+    r.add_argument("--tracer",
+                   choices=["auto", "brute", "bvh", "packet", "bf"],
                    default="auto")
     r.add_argument("--compact", action="store_true",
                    help="wavefront population-control compaction")

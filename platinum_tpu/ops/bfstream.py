@@ -76,9 +76,9 @@ DET_EPS = 1e-12
 # (sim_raystream: level pair counts peak ~1.6R then decay; padded regions
 # round each child up to 128 lanes)
 PAIR_CAP_MULT = (1.0, 2.5, 2.5, 2.0, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5)
-MT_CAP_MULT = 2.0
+MT_CAP_MULT = 3.0
 # extra tiles absorbing per-child round-up (<= 1 tile per active child)
-CAP_SLACK_TILES = 192
+CAP_SLACK_TILES = 256
 SEG_RAYS = 65536          # rays per segment (VMEM budget)
 B_EXPAND = 4              # units batched per expand loop iteration
 B_MT = 4                  # units batched per MT loop iteration
@@ -229,7 +229,7 @@ def _build_expand(cap_t: int, n_nodes: int, interpret: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 (16 * n_nodes + 8 * cap_t + cap_t) * LANES * 4 + (32 << 20),
-                128 << 20)),
+                100 << 20)),
         interpret=interpret,
     )
 
@@ -248,16 +248,38 @@ def _make_prefix_kernel(cap_t: int, cap_next: int, mt_cap: int):
                pairsN_in, mtp_in, mtu_in,
                dn_ref, base_ref, unitsN_ref, nN_ref, mtcur_out, ovf_ref,
                pairsN_ref, mtp_ref, mtu_ref, acc_ref):
-        del pairsN_in, mtp_in, mtu_in   # aliased to the _ref outputs
         nu = n_ref[0]
         dead = _dead_tile()
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
 
+        # COPY-IN: on hardware an output window is staged in VMEM and
+        # written back WHOLE at kernel end — bytes this kernel never
+        # stores would become staging garbage, destroying the aliased
+        # input's pass-through data (earlier levels' regions). Interpret
+        # mode pre-initializes aliased outputs; hardware does not.
+        def cp_tiles(t, _):
+            pairsN_ref[t] = pairsN_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, pairsN_ref.shape[0], cp_tiles, 0)
+
+        def cp_mtp(t, _):
+            mtp_ref[t] = mtp_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, mtp_ref.shape[0], cp_mtp, 0)
+
+        def cp_mtu(t, _):
+            mtu_ref[t] = mtu_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, mtu_ref.shape[0], cp_mtu, 0)
+
         def deadmark(ref, tile, rem):
             # tail lanes [rem, 128) of the region's last tile become dead
-            # payload; the live lanes keep whatever is there (every one of
-            # them is covered by an EMIT write)
-            ref[tile] = jnp.where(lane >= rem, dead, ref[tile])
+            # payload; live lanes untouched (pure masked store — every
+            # live lane is covered by an EMIT masked store later)
+            pltpu.store(ref.at[tile], dead, mask=lane >= rem)
 
         def finalize(do, cur_node, dn, pcur, mcur, ovf):
             """Predicated region allocation for node `cur_node`'s 16
@@ -398,7 +420,7 @@ def _build_prefix(cap_t: int, cap_next: int, mt_cap: int, n16: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 8 * (cap_next + mt_cap) * LANES * 4 + (16 << 20),
-                128 << 20)),
+                100 << 20)),
         interpret=interpret,
     )
 
@@ -411,8 +433,22 @@ def _build_prefix(cap_t: int, cap_next: int, mt_cap: int, n16: int,
 def _make_emit_kernel(cap_t: int, cap_next: int, mt_cap: int):
     def kernel(pairs_ref, masks_ref, n_ref, dn_ref, ucnt_ref, base_ref,
                pairsN_in, mtp_in, pairsN_ref, mtp_ref, wcur_ref):
-        del pairsN_in, mtp_in
         nu = n_ref[0]
+
+        # COPY-IN (see prefix): preserve the aliased inputs' pass-through
+        # data (prefix's dead-marked tails + earlier levels' MT regions)
+        # against whole-window write-back of staging garbage
+        def cp_tiles(t, _):
+            pairsN_ref[t] = pairsN_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, pairsN_ref.shape[0], cp_tiles, 0)
+
+        def cp_mtp(t, _):
+            mtp_ref[t] = mtp_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, mtp_ref.shape[0], cp_mtp, 0)
         tri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                >= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                ).astype(jnp.bfloat16)           # lower-tri incl. diagonal
@@ -428,9 +464,13 @@ def _make_emit_kernel(cap_t: int, cap_next: int, mt_cap: int):
                 pay, p0, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
+            # PURE masked stores (no read-modify-write): successive units
+            # write overlapping tiles at disjoint columns, and dynamic-
+            # index RMW has no load/store ordering guarantee on hardware
+            # (observed as payload corruption at scale)
             lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
             m0 = (lane >= shift) & (lane < shift + k)
-            dest_ref[tile0] = jnp.where(m0, out0, dest_ref[tile0])
+            pltpu.store(dest_ref.at[tile0], out0, mask=m0)
 
             @pl.when(shift + k > LANES)
             def _():
@@ -442,7 +482,7 @@ def _make_emit_kernel(cap_t: int, cap_next: int, mt_cap: int):
                     precision=jax.lax.Precision.HIGHEST)
                 m1 = lane < (shift + k - LANES)
                 t1 = jnp.minimum(tile0 + 1, dest_ref.shape[0] - 1)
-                dest_ref[t1] = jnp.where(m1, out1, dest_ref[t1])
+                pltpu.store(dest_ref.at[t1], out1, mask=m1)
 
         def body(carry):
             u = carry
@@ -531,7 +571,7 @@ def _build_emit(cap_t: int, cap_next: int, mt_cap: int, interpret: bool):
             vmem_limit_bytes=min(
                 8 * (cap_t + cap_next + mt_cap) * LANES * 4
                 + cap_t * LANES * 4 + (16 << 20),
-                128 << 20)),
+                100 << 20)),
         interpret=interpret,
     )
 
@@ -541,8 +581,11 @@ def _build_emit(cap_t: int, cap_next: int, mt_cap: int, interpret: bool):
 # Moller-Trumbore block matmul; per-pair results (t, sid, u, v, occ).
 # ---------------------------------------------------------------------------
 
-def _make_mt_kernel(mt_cap: int, n_blocks: int, any_hit: bool,
+def _make_mt_kernel(mt_cap: int, nb_lo: int, nb_hi: int, any_hit: bool,
                     mt_prec: str):
+    """MT over units whose block id is in [nb_lo, nb_hi) — the tri blocks
+    are split across calls so (blocks slice + pair/result tiles) fits the
+    erratic ~67-105 MB scoped-VMEM budget; results pass through aliased."""
     _MT_DN = (((0,), (0,)), ((), ()))
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
                     "high": None,
@@ -566,75 +609,90 @@ def _make_mt_kernel(mt_cap: int, n_blocks: int, any_hit: bool,
 
         return d(bh, fh) + d(bh, fl) + d(bl, fh)
 
-    def kernel(mtu_ref, n_ref, mtp_ref, tris_ref, res_ref):
+    def kernel(mtu_ref, n_ref, mtp_ref, tris_ref, res_in, res_ref):
         nu = n_ref[0]
+
+        # COPY-IN (see prefix): preserve other block-range calls' results
+        def cp(t, _):
+            res_ref[t] = res_in[t]
+            return 0
+
+        jax.lax.fori_loop(0, res_ref.shape[0], cp, 0)
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (64, 1), 0).astype(jnp.float32)
         row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def body(carry):
             u = carry
-            b = jnp.clip(mtu_ref[u], 0, n_blocks - 1)
-            pay = mtp_ref[u]
-            ox, oy, oz = pay[0:1, :], pay[1:2, :], pay[2:3, :]
-            dx, dy, dz = pay[3:4, :], pay[4:5, :], pay[5:6, :]
-            tmin, tmax = pay[6:7, :], pay[7:8, :]
-            feat = jnp.concatenate([
-                dx, dy, dz,
-                oy * dz - oz * dy,
-                oz * dx - ox * dz,
-                ox * dy - oy * dx,
-                ox, oy, oz,
-                jnp.ones((1, LANES), jnp.float32),
-            ], axis=0)                               # (10, 128)
-            blk = tris_ref[b, 0:10, :]               # (10, 256)
-            out = mt_dot(blk, feat)                  # (256, 128)
-            det = out[0:64, :]
-            udet = out[64:128, :]
-            vdet = out[128:192, :]
-            tdet = out[192:256, :]
-            s = jnp.where(det >= 0.0, 1.0, -1.0)
-            ad = det * s
-            us, vs, ts = udet * s, vdet * s, tdet * s
-            ok = ((ad > DET_EPS)
-                  & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
-                  & (ts > tmin * ad) & (ts < tmax * ad))
-            if any_hit:
-                anyh = jnp.max(ok.astype(jnp.float32), axis=0,
-                               keepdims=True)
-                occ = anyh > 0.0
-                t_r = jnp.where(occ, 0.0, BIG)
-                sid_r = jnp.where(occ, 0.0, BIG)
-                u_r = jnp.zeros((1, LANES))
-                v_r = jnp.zeros((1, LANES))
-            else:
-                t64 = jnp.where(ok, ts / jnp.maximum(ad, 1e-37), BIG)
-                tb = jnp.min(t64, axis=0, keepdims=True)
-                found = tb < BIG
-                sel = (t64 == tb) & found
-                slot = jnp.min(jnp.where(sel, slot_iota, BIG), axis=0,
-                               keepdims=True)
-                sel = sel & (slot_iota == slot)
-                iad = 1.0 / jnp.maximum(
-                    jnp.max(jnp.where(sel, ad, 0.0), axis=0,
-                            keepdims=True), 1e-37)
-                u_r = jnp.max(jnp.where(sel, us, -BIG), axis=0,
-                              keepdims=True) * iad
-                v_r = jnp.max(jnp.where(sel, vs, -BIG), axis=0,
-                              keepdims=True) * iad
-                u_r = jnp.where(found, u_r, 0.0)
-                v_r = jnp.where(found, v_r, 0.0)
-                t_r = tb
-                sid_r = jnp.where(found,
-                                  jnp.asarray(b, jnp.float32) * 64.0
-                                  + slot, BIG)
-            res = jnp.where(
-                row8 == 0, jnp.broadcast_to(t_r, (8, LANES)),
-                jnp.where(row8 == 1, jnp.broadcast_to(sid_r, (8, LANES)),
-                          jnp.where(row8 == 2,
-                                    jnp.broadcast_to(u_r, (8, LANES)),
-                                    jnp.broadcast_to(v_r, (8, LANES)))))
-            res_ref[u] = res
+            bid = mtu_ref[u]
+            mine = (bid >= nb_lo) & (bid < nb_hi)
+
+            @pl.when(mine)
+            def _():
+                b = jnp.clip(bid - nb_lo, 0, nb_hi - nb_lo - 1)
+                pay = mtp_ref[jnp.minimum(u, mt_cap - 1)]
+                ox, oy, oz = pay[0:1, :], pay[1:2, :], pay[2:3, :]
+                dx, dy, dz = pay[3:4, :], pay[4:5, :], pay[5:6, :]
+                tmin, tmax = pay[6:7, :], pay[7:8, :]
+                feat = jnp.concatenate([
+                    dx, dy, dz,
+                    oy * dz - oz * dy,
+                    oz * dx - ox * dz,
+                    ox * dy - oy * dx,
+                    ox, oy, oz,
+                    jnp.ones((1, LANES), jnp.float32),
+                ], axis=0)                               # (10, 128)
+                blk = tris_ref[b, 0:10, :]               # (10, 256)
+                out = mt_dot(blk, feat)                  # (256, 128)
+                det = out[0:64, :]
+                udet = out[64:128, :]
+                vdet = out[128:192, :]
+                tdet = out[192:256, :]
+                s = jnp.where(det >= 0.0, 1.0, -1.0)
+                ad = det * s
+                us, vs, ts = udet * s, vdet * s, tdet * s
+                ok = ((ad > DET_EPS)
+                      & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
+                      & (ts > tmin * ad) & (ts < tmax * ad))
+                if any_hit:
+                    anyh = jnp.max(ok.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+                    occ = anyh > 0.0
+                    t_r = jnp.where(occ, 0.0, BIG)
+                    sid_r = jnp.where(occ, 0.0, BIG)
+                    u_r = jnp.zeros((1, LANES))
+                    v_r = jnp.zeros((1, LANES))
+                else:
+                    t64 = jnp.where(ok, ts / jnp.maximum(ad, 1e-37), BIG)
+                    tb = jnp.min(t64, axis=0, keepdims=True)
+                    found = tb < BIG
+                    sel = (t64 == tb) & found
+                    slot = jnp.min(jnp.where(sel, slot_iota, BIG), axis=0,
+                                   keepdims=True)
+                    sel = sel & (slot_iota == slot)
+                    iad = 1.0 / jnp.maximum(
+                        jnp.max(jnp.where(sel, ad, 0.0), axis=0,
+                                keepdims=True), 1e-37)
+                    u_r = jnp.max(jnp.where(sel, us, -BIG), axis=0,
+                                  keepdims=True) * iad
+                    v_r = jnp.max(jnp.where(sel, vs, -BIG), axis=0,
+                                  keepdims=True) * iad
+                    u_r = jnp.where(found, u_r, 0.0)
+                    v_r = jnp.where(found, v_r, 0.0)
+                    t_r = tb
+                    sid_r = jnp.where(found,
+                                      jnp.asarray(bid, jnp.float32) * 64.0
+                                      + slot, BIG)
+                res = jnp.where(
+                    row8 == 0, jnp.broadcast_to(t_r, (8, LANES)),
+                    jnp.where(row8 == 1,
+                              jnp.broadcast_to(sid_r, (8, LANES)),
+                              jnp.where(row8 == 2,
+                                        jnp.broadcast_to(u_r, (8, LANES)),
+                                        jnp.broadcast_to(v_r,
+                                                         (8, LANES)))))
+                res_ref[jnp.minimum(u, mt_cap - 1)] = res
+
             return u + 1
 
         jax.lax.while_loop(lambda u: u < nu, body, jnp.int32(0))
@@ -643,23 +701,25 @@ def _make_mt_kernel(mt_cap: int, n_blocks: int, any_hit: bool,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_mt(mt_cap: int, n_blocks: int, any_hit: bool, mt_prec: str,
-              interpret: bool):
+def _build_mt(mt_cap: int, nb_lo: int, nb_hi: int, any_hit: bool,
+              mt_prec: str, interpret: bool):
+    nb = nb_hi - nb_lo
     return pl.pallas_call(
-        _make_mt_kernel(mt_cap, n_blocks, any_hit, mt_prec),
+        _make_mt_kernel(mt_cap, nb_lo, nb_hi, any_hit, mt_prec),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mt unit blocks
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_mt
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mt pairs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri blocks slice
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # res in (alias)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mt_cap, 8, LANES), jnp.float32),
+        input_output_aliases={4: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                20 * n_blocks * LANES * 4 + 16 * mt_cap * LANES * 4
-                + (16 << 20),
-                128 << 20)),
+                20 * nb * LANES * 4 + 16 * mt_cap * LANES * 4
+                + (8 << 20), 100 << 20)),
         interpret=interpret,
     )
 
@@ -805,7 +865,7 @@ def _build_bwd(cap_t: int, cap_child: int, mt_cap: int, interpret: bool):
             vmem_limit_bytes=min(
                 8 * (2 * cap_t + cap_child + mt_cap) * LANES * 4
                 + (16 << 20),
-                128 << 20)),
+                100 << 20)),
         interpret=interpret,
     )
 
@@ -861,8 +921,11 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
         for lvl in range(1, depth + 2):
             mult = PAIR_CAP_MULT[min(lvl, len(PAIR_CAP_MULT) - 1)]
             caps.append(int(np.ceil(mult * rt)) + CAP_SLACK_TILES)
-        mt_cap = int(np.ceil(MT_CAP_MULT * rt) * max(depth, 1)) \
-            + CAP_SLACK_TILES * (depth + 1)
+        # MT tiles across ALL levels ~ the sim's vblocks (~1.1-1.5R/128)
+        # plus one round-up tile per touched leaf child; sized against the
+        # ~105 MB scoped-VMEM budget next to the resident tri blocks
+        mt_cap = (int(np.ceil(MT_CAP_MULT * rt))
+                  + CAP_SLACK_TILES * (depth + 1))
         return caps, mt_cap
 
     def _segment(pairs0, rt, any_hit):
@@ -898,8 +961,18 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
                               n=n_units, cap=cap_t))
             units, n_units, pairs = units_next, n_next, pairs_next
 
-        mt_res = _build_mt(mt_cap, n_blocks, any_hit, mt_precision,
-                           interpret)(mtu, mtcur, mt_pairs, wtris)
+        # MT split by BLOCK RANGE: each call holds a slice of the tri
+        # blocks (the full 62 MB set + pair/result tiles exceeds the
+        # erratic ~67-105 MB scoped-VMEM budget); units outside the range
+        # are skipped, results pass through aliased
+        blocks_per_call = max(1, min(n_blocks, (24 << 20) // (10 * 256 * 4)))
+        mt_res = jnp.zeros((mt_cap, 8, LANES), jnp.float32)
+        for lo_b in range(0, n_blocks, blocks_per_call):
+            hi_b = min(lo_b + blocks_per_call, n_blocks)
+            mt_res = _build_mt(mt_cap, lo_b, hi_b, any_hit, mt_precision,
+                               interpret)(
+                mtu, mtcur, mt_pairs,
+                jax.lax.slice_in_dim(wtris, lo_b, hi_b, axis=0), mt_res)
 
         res = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 1) <= 1,

@@ -63,6 +63,25 @@ def _alpha_value(flat: FlatScene, mat_idx, uv):
 
 
 def make_tracers(flat: FlatScene, settings: RenderSettings):
+    if settings.tracer == "bf" and flat.wbvh_nodes is not None:
+        # all-Pallas breadth-first pipeline (ops/bfstream.py): closest
+        # waves ride BF; any-hit (occlusion) waves keep the packet kernel
+        # (BF has no early-exit, the packet any-hit walk does)
+        from platinum_tpu.ops.bfstream import make_bf_tracer
+        from platinum_tpu.ops.pallas_trace import make_packet_tracer
+
+        if flat.instances is not None or flat.wbvh_parts is not None:
+            raise ValueError("tracer='bf' requires a plain resident tree: "
+                             "instancing='off', no partitioning")
+        bf_c, _ = make_bf_tracer(
+            flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
+            mt_precision=settings.mt_precision)
+        _, pk_a = make_packet_tracer(
+            flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
+            mt_precision=("highest"
+                          if settings.mt_precision == "two_phase"
+                          else settings.mt_precision))
+        return bf_c, pk_a
     if settings.tracer in ("packet", "auto") and flat.wbvh_parts is not None:
         from platinum_tpu.accel.partition import make_partitioned_tracer
 

@@ -217,6 +217,7 @@ class RenderSettings:
     working_space: str = "BT709"
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh" | "packet"
+                                   # | "bf" (breadth-first closest waves)
     instancing: str = "auto"       # "auto" | "on" | "off" — two-level
                                    # TLAS/BLAS with shared per-mesh geometry
                                    # ("auto": on when a mesh is instanced
