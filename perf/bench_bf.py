@@ -116,9 +116,21 @@ def main():
     jbc = jax.jit(lambda o, d: bc(o, d, 1e-3, 1e30).t)
     jba = jax.jit(lambda o, d: ba(o, d, 1e-3, 60.0))
 
-    # full-record jits for the equality check
+    # full-record jits for the equality check (+ overflow surfaced)
     fpc = jax.jit(lambda o, d: pc(o, d, 1e-3, 1e30))
-    fbc = jax.jit(lambda o, d: bc(o, d, 1e-3, 1e30))
+
+    def fbc_overflow(o, d):
+        rec, ovf = bc.with_overflow(o, d, 1e-3, 1e30, None)
+        return rec, ovf
+
+    fbc_o = jax.jit(fbc_overflow)
+
+    def fbc(o, d):
+        rec, ovf = fbc_o(o, d)
+        ov = int(ovf)
+        if ov:
+            print(f"# WARNING: bf overflow {ov} pairs dropped", flush=True)
+        return rec
 
     t0 = time.perf_counter()
     jbc(*waves["primary"]).block_until_ready()

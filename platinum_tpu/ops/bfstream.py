@@ -75,10 +75,11 @@ DET_EPS = 1e-12
 # static per-level pair-tile capacities as multiples of segment tiles
 # (sim_raystream: level pair counts peak ~1.6R then decay; padded regions
 # round each child up to 128 lanes)
-PAIR_CAP_MULT = (1.0, 2.5, 2.5, 2.0, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5)
+PAIR_CAP_MULT = (1.0, 3.0, 3.0, 3.0, 2.5, 2.5, 2.5, 2.5, 2.5, 2.5)
 MT_CAP_MULT = 3.0
+MT_WIN = 512   # MT unit-window tiles per call
 # extra tiles absorbing per-child round-up (<= 1 tile per active child)
-CAP_SLACK_TILES = 256
+CAP_SLACK_TILES = 768
 SEG_RAYS = 65536          # rays per segment (VMEM budget)
 B_EXPAND = 4              # units batched per expand loop iteration
 B_MT = 4                  # units batched per MT loop iteration
@@ -256,18 +257,18 @@ def _make_prefix_kernel(cap_t: int, cap_next: int, mt_cap: int):
         # written back WHOLE at kernel end — bytes this kernel never
         # stores would become staging garbage, destroying the aliased
         # input's pass-through data (earlier levels' regions). Interpret
-        # mode pre-initializes aliased outputs; hardware does not.
-        def cp_tiles(t, _):
-            pairsN_ref[t] = pairsN_in[t]
-            return 0
+        # mode pre-initializes aliased outputs; hardware does not. The
+        # pass-through inputs live in HBM (zero VMEM) and are pulled in
+        # with two whole-buffer DMAs.
+        def copy_in(sems):
+            c0 = pltpu.make_async_copy(pairsN_in, pairsN_ref, sems.at[0])
+            c1 = pltpu.make_async_copy(mtp_in, mtp_ref, sems.at[1])
+            c0.start()
+            c1.start()
+            c0.wait()
+            c1.wait()
 
-        jax.lax.fori_loop(0, pairsN_ref.shape[0], cp_tiles, 0)
-
-        def cp_mtp(t, _):
-            mtp_ref[t] = mtp_in[t]
-            return 0
-
-        jax.lax.fori_loop(0, mtp_ref.shape[0], cp_mtp, 0)
+        pl.run_scoped(copy_in, pltpu.SemaphoreType.DMA((2,)))
 
         def cp_mtu(t, _):
             mtu_ref[t] = mtu_in[t]
@@ -389,8 +390,8 @@ def _build_prefix(cap_t: int, cap_next: int, mt_cap: int, n16: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ucnt
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mt cursor in
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pairs_next (alias)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mt_pairs (alias)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # pairs_next (alias)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # mt_pairs (alias)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mt_units (alias)
         ],
         out_specs=[
@@ -438,17 +439,15 @@ def _make_emit_kernel(cap_t: int, cap_next: int, mt_cap: int):
         # COPY-IN (see prefix): preserve the aliased inputs' pass-through
         # data (prefix's dead-marked tails + earlier levels' MT regions)
         # against whole-window write-back of staging garbage
-        def cp_tiles(t, _):
-            pairsN_ref[t] = pairsN_in[t]
-            return 0
+        def copy_in(sems):
+            c0 = pltpu.make_async_copy(pairsN_in, pairsN_ref, sems.at[0])
+            c1 = pltpu.make_async_copy(mtp_in, mtp_ref, sems.at[1])
+            c0.start()
+            c1.start()
+            c0.wait()
+            c1.wait()
 
-        jax.lax.fori_loop(0, pairsN_ref.shape[0], cp_tiles, 0)
-
-        def cp_mtp(t, _):
-            mtp_ref[t] = mtp_in[t]
-            return 0
-
-        jax.lax.fori_loop(0, mtp_ref.shape[0], cp_mtp, 0)
+        pl.run_scoped(copy_in, pltpu.SemaphoreType.DMA((2,)))
         tri = (jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
                >= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
                ).astype(jnp.bfloat16)           # lower-tri incl. diagonal
@@ -554,8 +553,8 @@ def _build_emit(cap_t: int, cap_next: int, mt_cap: int, interpret: bool):
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dn_of_unit
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ucnt
             pl.BlockSpec(memory_space=pltpu.SMEM),   # base
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # pairs_next (alias)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mt_pairs (alias)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # pairs_next (alias)
+            pl.BlockSpec(memory_space=pltpu.HBM),    # mt_pairs (alias)
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -581,11 +580,15 @@ def _build_emit(cap_t: int, cap_next: int, mt_cap: int, interpret: bool):
 # Moller-Trumbore block matmul; per-pair results (t, sid, u, v, occ).
 # ---------------------------------------------------------------------------
 
-def _make_mt_kernel(mt_cap: int, nb_lo: int, nb_hi: int, any_hit: bool,
+def _make_mt_kernel(mt_cap: int, n_blocks: int, any_hit: bool,
                     mt_prec: str):
-    """MT over units whose block id is in [nb_lo, nb_hi) — the tri blocks
-    are split across calls so (blocks slice + pair/result tiles) fits the
-    erratic ~67-105 MB scoped-VMEM budget; results pass through aliased."""
+    """MT over one window of units. The tri blocks stay in HBM (16-row
+    padded for DMA tiling) and each unit's block is DMA-staged — the
+    VMEM-resident-operand designs all collided with the platform's
+    erratic scoped-VMEM budget (XLA co-schedules the next call's operand
+    prefetch, shrinking the per-call limit unpredictably); this shape
+    needs only a few MB no matter the scene size, and is the same
+    pattern the packet kernel's stream mode runs in production."""
     _MT_DN = (((0,), (0,)), ((), ()))
     MT_PRECISION = {"highest": jax.lax.Precision.HIGHEST,
                     "high": None,
@@ -609,117 +612,113 @@ def _make_mt_kernel(mt_cap: int, nb_lo: int, nb_hi: int, any_hit: bool,
 
         return d(bh, fh) + d(bh, fl) + d(bl, fh)
 
-    def kernel(mtu_ref, n_ref, mtp_ref, tris_ref, res_in, res_ref):
+    def kernel(mtu_ref, n_ref, mtp_ref, tris_ref, res_ref, ring, sems):
         nu = n_ref[0]
-
-        # COPY-IN (see prefix): preserve other block-range calls' results
-        def cp(t, _):
-            res_ref[t] = res_in[t]
-            return 0
-
-        jax.lax.fori_loop(0, res_ref.shape[0], cp, 0)
         slot_iota = jax.lax.broadcasted_iota(
             jnp.int32, (64, 1), 0).astype(jnp.float32)
         row8 = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
 
         def body(carry):
             u = carry
-            bid = mtu_ref[u]
-            mine = (bid >= nb_lo) & (bid < nb_hi)
-
-            @pl.when(mine)
-            def _():
-                b = jnp.clip(bid - nb_lo, 0, nb_hi - nb_lo - 1)
-                pay = mtp_ref[jnp.minimum(u, mt_cap - 1)]
-                ox, oy, oz = pay[0:1, :], pay[1:2, :], pay[2:3, :]
-                dx, dy, dz = pay[3:4, :], pay[4:5, :], pay[5:6, :]
-                tmin, tmax = pay[6:7, :], pay[7:8, :]
-                feat = jnp.concatenate([
-                    dx, dy, dz,
-                    oy * dz - oz * dy,
-                    oz * dx - ox * dz,
-                    ox * dy - oy * dx,
-                    ox, oy, oz,
-                    jnp.ones((1, LANES), jnp.float32),
-                ], axis=0)                               # (10, 128)
-                blk = tris_ref[b, 0:10, :]               # (10, 256)
-                out = mt_dot(blk, feat)                  # (256, 128)
-                det = out[0:64, :]
-                udet = out[64:128, :]
-                vdet = out[128:192, :]
-                tdet = out[192:256, :]
-                s = jnp.where(det >= 0.0, 1.0, -1.0)
-                ad = det * s
-                us, vs, ts = udet * s, vdet * s, tdet * s
-                ok = ((ad > DET_EPS)
-                      & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
-                      & (ts > tmin * ad) & (ts < tmax * ad))
-                if any_hit:
-                    anyh = jnp.max(ok.astype(jnp.float32), axis=0,
-                                   keepdims=True)
-                    occ = anyh > 0.0
-                    t_r = jnp.where(occ, 0.0, BIG)
-                    sid_r = jnp.where(occ, 0.0, BIG)
-                    u_r = jnp.zeros((1, LANES))
-                    v_r = jnp.zeros((1, LANES))
-                else:
-                    t64 = jnp.where(ok, ts / jnp.maximum(ad, 1e-37), BIG)
-                    tb = jnp.min(t64, axis=0, keepdims=True)
-                    found = tb < BIG
-                    sel = (t64 == tb) & found
-                    slot = jnp.min(jnp.where(sel, slot_iota, BIG), axis=0,
-                                   keepdims=True)
-                    sel = sel & (slot_iota == slot)
-                    iad = 1.0 / jnp.maximum(
-                        jnp.max(jnp.where(sel, ad, 0.0), axis=0,
-                                keepdims=True), 1e-37)
-                    u_r = jnp.max(jnp.where(sel, us, -BIG), axis=0,
-                                  keepdims=True) * iad
-                    v_r = jnp.max(jnp.where(sel, vs, -BIG), axis=0,
-                                  keepdims=True) * iad
-                    u_r = jnp.where(found, u_r, 0.0)
-                    v_r = jnp.where(found, v_r, 0.0)
-                    t_r = tb
-                    sid_r = jnp.where(found,
-                                      jnp.asarray(bid, jnp.float32) * 64.0
-                                      + slot, BIG)
-                res = jnp.where(
-                    row8 == 0, jnp.broadcast_to(t_r, (8, LANES)),
-                    jnp.where(row8 == 1,
-                              jnp.broadcast_to(sid_r, (8, LANES)),
-                              jnp.where(row8 == 2,
-                                        jnp.broadcast_to(u_r, (8, LANES)),
-                                        jnp.broadcast_to(v_r,
-                                                         (8, LANES)))))
-                res_ref[jnp.minimum(u, mt_cap - 1)] = res
-
+            bid = jnp.clip(mtu_ref[u], 0, n_blocks - 1)
+            cp = pltpu.make_async_copy(tris_ref.at[bid], ring, sems.at[0])
+            cp.start()
+            pay = mtp_ref[jnp.minimum(u, mt_cap - 1)]
+            ox, oy, oz = pay[0:1, :], pay[1:2, :], pay[2:3, :]
+            dx, dy, dz = pay[3:4, :], pay[4:5, :], pay[5:6, :]
+            tmin, tmax = pay[6:7, :], pay[7:8, :]
+            feat = jnp.concatenate([
+                dx, dy, dz,
+                oy * dz - oz * dy,
+                oz * dx - ox * dz,
+                ox * dy - oy * dx,
+                ox, oy, oz,
+                jnp.ones((1, LANES), jnp.float32),
+            ], axis=0)                               # (10, 128)
+            cp.wait()
+            blk = ring[0:10, :]                      # (10, 256)
+            out = mt_dot(blk, feat)                  # (256, 128)
+            det = out[0:64, :]
+            udet = out[64:128, :]
+            vdet = out[128:192, :]
+            tdet = out[192:256, :]
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = det * s
+            us, vs, ts = udet * s, vdet * s, tdet * s
+            ok = ((ad > DET_EPS)
+                  & (us >= 0.0) & (vs >= 0.0) & (us + vs <= ad)
+                  & (ts > tmin * ad) & (ts < tmax * ad))
+            if any_hit:
+                anyh = jnp.max(ok.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                occ = anyh > 0.0
+                t_r = jnp.where(occ, 0.0, BIG)
+                sid_r = jnp.where(occ, 0.0, BIG)
+                u_r = jnp.zeros((1, LANES))
+                v_r = jnp.zeros((1, LANES))
+            else:
+                t64 = jnp.where(ok, ts / jnp.maximum(ad, 1e-37), BIG)
+                tb = jnp.min(t64, axis=0, keepdims=True)
+                found = tb < BIG
+                sel = (t64 == tb) & found
+                slot = jnp.min(jnp.where(sel, slot_iota, BIG), axis=0,
+                               keepdims=True)
+                sel = sel & (slot_iota == slot)
+                iad = 1.0 / jnp.maximum(
+                    jnp.max(jnp.where(sel, ad, 0.0), axis=0,
+                            keepdims=True), 1e-37)
+                u_r = jnp.max(jnp.where(sel, us, -BIG), axis=0,
+                              keepdims=True) * iad
+                v_r = jnp.max(jnp.where(sel, vs, -BIG), axis=0,
+                              keepdims=True) * iad
+                u_r = jnp.where(found, u_r, 0.0)
+                v_r = jnp.where(found, v_r, 0.0)
+                t_r = tb
+                sid_r = jnp.where(found,
+                                  jnp.asarray(bid, jnp.float32) * 64.0
+                                  + slot, BIG)
+            res = jnp.where(
+                row8 == 0, jnp.broadcast_to(t_r, (8, LANES)),
+                jnp.where(row8 == 1,
+                          jnp.broadcast_to(sid_r, (8, LANES)),
+                          jnp.where(row8 == 2,
+                                    jnp.broadcast_to(u_r, (8, LANES)),
+                                    jnp.broadcast_to(v_r, (8, LANES)))))
+            res_ref[jnp.minimum(u, mt_cap - 1)] = res
             return u + 1
 
         jax.lax.while_loop(lambda u: u < nu, body, jnp.int32(0))
+
+        # dead-fill tiles beyond nu (pure stores, no pass-through needed)
+        def fill(carry):
+            u = carry
+            res_ref[u] = jnp.where(row8 <= 1, BIG, 0.0)
+            return u + 1
+
+        jax.lax.while_loop(lambda u: u < mt_cap, fill, nu)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build_mt(mt_cap: int, nb_lo: int, nb_hi: int, any_hit: bool,
-              mt_prec: str, interpret: bool):
-    nb = nb_hi - nb_lo
+def _build_mt(mt_cap: int, n_blocks: int, any_hit: bool, mt_prec: str,
+              interpret: bool):
     return pl.pallas_call(
-        _make_mt_kernel(mt_cap, nb_lo, nb_hi, any_hit, mt_prec),
+        _make_mt_kernel(mt_cap, n_blocks, any_hit, mt_prec),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # mt unit blocks
             pl.BlockSpec(memory_space=pltpu.SMEM),   # n_mt
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # mt pairs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri blocks slice
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # res in (alias)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # mt pair window
+            pl.BlockSpec(memory_space=pltpu.HBM),    # tri blocks (16-pad)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mt_cap, 8, LANES), jnp.float32),
-        input_output_aliases={4: 0},
+        scratch_shapes=[
+            pltpu.VMEM((16, 256), jnp.float32),      # block staging
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(
-                20 * nb * LANES * 4 + 16 * mt_cap * LANES * 4
-                + (8 << 20), 100 << 20)),
+            vmem_limit_bytes=16 * mt_cap * LANES * 4 + (4 << 20)),
         interpret=interpret,
     )
 
@@ -900,6 +899,9 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
             "(wide_leaf_cap <= 64 is the build default)")
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
+    # HBM-resident MT blocks, padded to 16 rows (Mosaic DMA slices must
+    # be multiples of the (8,128) sublane tiling; 10 is not)
+    wtris16 = jnp.pad(wtris, ((0, 0), (0, 6), (0, 0)))
     wmeta = jnp.asarray(wmeta, jnp.int32)
     if wslot is not None:
         wslot = jnp.asarray(wslot, jnp.int32)
@@ -925,7 +927,8 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
         # plus one round-up tile per touched leaf child; sized against the
         # ~105 MB scoped-VMEM budget next to the resident tri blocks
         mt_cap = (int(np.ceil(MT_CAP_MULT * rt))
-                  + CAP_SLACK_TILES * (depth + 1))
+                  + 512 * (depth + 1))
+        mt_cap = _cdiv(mt_cap, MT_WIN) * MT_WIN
         return caps, mt_cap
 
     def _segment(pairs0, rt, any_hit):
@@ -961,18 +964,18 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
                               n=n_units, cap=cap_t))
             units, n_units, pairs = units_next, n_next, pairs_next
 
-        # MT split by BLOCK RANGE: each call holds a slice of the tri
-        # blocks (the full 62 MB set + pair/result tiles exceeds the
-        # erratic ~67-105 MB scoped-VMEM budget); units outside the range
-        # are skipped, results pass through aliased
-        blocks_per_call = max(1, min(n_blocks, (24 << 20) // (10 * 256 * 4)))
-        mt_res = jnp.zeros((mt_cap, 8, LANES), jnp.float32)
-        for lo_b in range(0, n_blocks, blocks_per_call):
-            hi_b = min(lo_b + blocks_per_call, n_blocks)
-            mt_res = _build_mt(mt_cap, lo_b, hi_b, any_hit, mt_precision,
-                               interpret)(
-                mtu, mtcur, mt_pairs,
-                jax.lax.slice_in_dim(wtris, lo_b, hi_b, axis=0), mt_res)
+        # MT in unit windows of MT_WIN tiles: tri blocks stay in HBM and
+        # each unit's block is DMA-staged, so a call needs only a few MB
+        # of VMEM regardless of scene size or mt_cap
+        wins = []
+        for w0 in range(0, mt_cap, MT_WIN):
+            n_w = jnp.clip(mtcur[0] - w0, 0, MT_WIN).reshape(1)
+            mtu_w = jax.lax.slice_in_dim(mtu, w0, w0 + MT_WIN, axis=0)
+            mtp_w = jax.lax.slice_in_dim(mt_pairs, w0, w0 + MT_WIN, axis=0)
+            wins.append(_build_mt(MT_WIN, n_blocks, any_hit,
+                                  mt_precision, interpret)(
+                mtu_w, n_w, mtp_w, wtris16))
+        mt_res = jnp.concatenate(wins, axis=0)
 
         res = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (1, 8, LANES), 1) <= 1,
