@@ -76,7 +76,7 @@ DET_EPS = 1e-12
 # (sim_raystream: level pair counts peak ~1.6R then decay; padded regions
 # round each child up to 128 lanes)
 PAIR_CAP_MULT = (1.0, 3.0, 3.0, 3.0, 2.5, 2.5, 2.5, 2.5, 2.5, 2.5)
-MT_CAP_MULT = 3.0
+MT_CAP_MULT = 14.0
 MT_WIN = 512   # MT unit-window tiles per call
 # extra tiles absorbing per-child round-up (<= 1 tile per active child)
 CAP_SLACK_TILES = 768
@@ -923,11 +923,13 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
         for lvl in range(1, depth + 2):
             mult = PAIR_CAP_MULT[min(lvl, len(PAIR_CAP_MULT) - 1)]
             caps.append(int(np.ceil(mult * rt)) + CAP_SLACK_TILES)
-        # MT tiles across ALL levels ~ the sim's vblocks (~1.1-1.5R/128)
-        # plus one round-up tile per touched leaf child; sized against the
-        # ~105 MB scoped-VMEM budget next to the resident tri blocks
-        mt_cap = (int(np.ceil(MT_CAP_MULT * rt))
-                  + 512 * (depth + 1))
+        # MT tiles across ALL levels: measured on a 65k sorted colonnade
+        # bounce segment = 6302 tiles (deep leaf children average ~15
+        # pairs/tile — the per-child 128-lane round-up dominates, fill
+        # ~12% at the deepest level; a known occupancy lever). 14 tiles
+        # per ray-tile covers it with ~15% margin; overflow is counted
+        # and surfaced, never silent.
+        mt_cap = int(np.ceil(MT_CAP_MULT * rt)) + 512
         mt_cap = _cdiv(mt_cap, MT_WIN) * MT_WIN
         return caps, mt_cap
 
