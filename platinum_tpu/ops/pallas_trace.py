@@ -33,6 +33,7 @@ closest hits and occlusion. Layout/encoding contract is accel/wide.py's.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1379,6 +1380,21 @@ def make_packet_tracer(wnodes, wtris, wmeta, wslot=None,
         pipe = True   # the loop-free walk is implemented in the pipe kernel
     if worder is not None:
         worder = jnp.asarray(worder, jnp.int32)
+    if mt_precision == "two_phase" and jax.default_backend() != "cpu" \
+            and os.environ.get("PLATINUM_TPU_TWO_PHASE_HW") != "1":
+        # Measured on the axon v5e (perf/bench_precision.py): two_phase is
+        # 10% SLOWER e2e than "highest" (486 vs 443 ms/spp — the refine
+        # pass + magnitude matmul exceed the 2-pass broad saving at this
+        # scene's candidate density) AND its refine min-scan relies on
+        # vector->scalar MIN-reduce syncs that are unreliable on this
+        # toolchain (0.29 RMSE on chip vs bitwise-exact interpret; the
+        # classic kernel only ever exercises SUM-reduce syncs). The tier
+        # stays interpret/test-exact; "high" remains the measured speed
+        # knob. Set PLATINUM_TPU_TWO_PHASE_HW=1 to experiment anyway.
+        raise RuntimeError(
+            "mt_precision='two_phase' is interpret/reference-only on this "
+            "backend (measured-negative and min-reduce syncs unreliable; "
+            "see PERFORMANCE.md round-5). Use 'highest' or 'high'.")
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
     if stream and wtris.shape[1] == 10:
