@@ -889,14 +889,25 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    meta_np = np.asarray(wmeta)
-    if depth is None:
-        depth = _tree_depth(meta_np)
-    if not _all_leaves_single_block(meta_np, int(np.asarray(wtris).shape[0])):
-        raise ValueError(
-            "bf tracer v1 requires single-block leaves and a plain "
-            "(non-instanced) tree — flatten with instancing='off' "
-            "(wide_leaf_cap <= 64 is the build default)")
+    if isinstance(wmeta, jax.core.Tracer):
+        # built inside a jit trace (the integrator path): the structural
+        # checks need concrete metadata, so the caller must supply the
+        # host-computed depth (RenderSettings.bf_depth via the Renderer)
+        if depth is None:
+            raise ValueError(
+                "make_bf_tracer under jit requires depth= (set "
+                "settings.bf_depth; the Renderer does this when "
+                "tracer='bf')")
+    else:
+        meta_np = np.asarray(wmeta)
+        if depth is None:
+            depth = _tree_depth(meta_np)
+        if not _all_leaves_single_block(meta_np,
+                                        int(np.asarray(wtris).shape[0])):
+            raise ValueError(
+                "bf tracer v1 requires single-block leaves and a plain "
+                "(non-instanced) tree — flatten with instancing='off' "
+                "(wide_leaf_cap <= 64 is the build default)")
     wnodes = jnp.asarray(wnodes, jnp.float32)
     wtris = jnp.asarray(wtris, jnp.float32)
     # HBM-resident MT blocks, padded to 16 rows (Mosaic DMA slices must
@@ -997,6 +1008,9 @@ def make_bf_tracer(wnodes, wtris, wmeta, wslot=None,
         d = jnp.asarray(d, jnp.float32)
         tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
         tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+        # payload rides exact-split (bf16x3) matmuls: inf would produce a
+        # NaN lo term (inf - bf16(inf)); 1e30 is beyond any scene extent
+        tmax = jnp.minimum(tmax, 1e30)
         if active is not None:
             tmax = jnp.where(active, tmax, tmin - 1.0)
 

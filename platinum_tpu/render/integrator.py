@@ -75,7 +75,8 @@ def make_tracers(flat: FlatScene, settings: RenderSettings):
                              "instancing='off', no partitioning")
         bf_c, _ = make_bf_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
-            mt_precision=settings.mt_precision)
+            mt_precision=settings.mt_precision,
+            depth=(settings.bf_depth or None))
         _, pk_a = make_packet_tracer(
             flat.wbvh_nodes, flat.wbvh_tris, flat.wbvh_meta, flat.wbvh_slot,
             mt_precision=("highest"

@@ -75,6 +75,14 @@ class Renderer:
         from platinum_tpu.render.flatten import analyze_features
 
         self._features = analyze_features(self.flat)
+        if self.settings.tracer == "bf" and \
+                self.flat.wbvh_meta is not None:
+            from platinum_tpu.ops.bfstream import _tree_depth
+            import numpy as _np
+
+            self.settings = dataclasses.replace(
+                self.settings,
+                bf_depth=_tree_depth(_np.asarray(self.flat.wbvh_meta)))
         if self.settings.compact_plan == "auto":
             from platinum_tpu.render import autoplan
 

@@ -218,6 +218,8 @@ class RenderSettings:
     output_space: str = "sRGB"
     tracer: str = "auto"           # "auto" | "brute" | "bvh" | "packet"
                                    # | "bf" (breadth-first closest waves)
+    bf_depth: int = 0              # tracer="bf" under jit: host-computed
+                                   # wide-tree depth (Renderer sets it)
     instancing: str = "auto"       # "auto" | "on" | "off" — two-level
                                    # TLAS/BLAS with shared per-mesh geometry
                                    # ("auto": on when a mesh is instanced

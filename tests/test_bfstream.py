@@ -112,3 +112,42 @@ def test_bf_tracer_on_scene_segmented(cpu_mesh_env):
         print("BF_SCENE_OK")
     """), cpu_mesh_env, timeout=1800)
     assert "BF_SCENE_OK" in out
+
+
+def test_bf_tracer_e2e_integrator(cpu_mesh_env):
+    """tracer='bf' through the FULL integrator (render_step under jit,
+    with bf_depth plumbing) matches tracer='packet' to fp-fusion noise.
+    Regression-pins the inf-tmax clamp: the integrator passes tmax=inf,
+    which would NaN the exact-split emission matmuls unclamped."""
+    out = run_in_cpu_mesh(textwrap.dedent("""
+        import dataclasses
+        import numpy as np
+        import jax.numpy as jnp
+        from platinum_tpu.app.scenes import make_spheres_scene
+        from platinum_tpu.render.flatten import (
+            analyze_features, flatten_scene,
+        )
+        from platinum_tpu.render import integrator
+        from platinum_tpu.render.types import RenderSettings
+        from platinum_tpu.ops.bfstream import _tree_depth
+
+        scene, cam = make_spheres_scene(grid=2)
+        imgs = {}
+        for tracer in ("packet", "bf"):
+            s = RenderSettings(width=16, height=16, spp=2, max_bounces=3,
+                               sampler="pcg4d", tracer=tracer,
+                               instancing="off")
+            flat = flatten_scene(scene, cam, s, accel_min_tris=1)
+            if tracer == "bf":
+                s = dataclasses.replace(
+                    s, bf_depth=_tree_depth(np.asarray(flat.wbvh_meta)))
+            img = integrator.render_step(
+                flat, s, jnp.zeros((256, 3)), jnp.int32(0),
+                features=analyze_features(flat))
+            imgs[tracer] = np.asarray(img)
+        d = np.abs(imgs["packet"] - imgs["bf"]).max()
+        assert np.isfinite(imgs["bf"]).all()
+        assert d < 1e-4, d
+        print("BF_E2E_OK")
+    """), cpu_mesh_env, timeout=1800)
+    assert "BF_E2E_OK" in out
