@@ -82,7 +82,9 @@ MT_WIN = 512   # MT unit-window tiles per call
 CAP_SLACK_TILES = 768
 SEG_RAYS = 65536          # rays per segment (VMEM budget)
 B_EXPAND = 4              # units batched per expand loop iteration
-B_MT = 4                  # units batched per MT loop iteration
+# (emit/MT/BWD process one unit per iteration in v1 — batching their
+# independent chains like B_EXPAND is the identified follow-on lever,
+# PERFORMANCE.md round-5)
 
 
 def _tree_depth(meta: np.ndarray) -> int:
